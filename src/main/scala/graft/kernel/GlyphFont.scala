@@ -1,0 +1,117 @@
+package graft.kernel
+
+import graft.img.Bin
+
+/** Deterministic 5x7 bitmap font — the recognition kernel's "model"
+  * (replaces the reference's Surya RecognitionPredictor,
+  * classes/ocr_processor.py:102-119, per the north_star's classical-kernel
+  * mandate). Every glyph is a single 8-connected component (pinned by a
+  * unit test) so connected-component segmentation yields one component per
+  * glyph.
+  */
+object GlyphFont {
+  val GlyphW = 5
+  val GlyphH = 7
+  val LetterGap = 1 // blank columns between glyphs of a word
+  val WordGap = 4   // blank columns between words
+  val Leading = 5   // blank rows between text lines
+  val LinePitch: Int = GlyphH + Leading
+
+  private def g(rows: String*): Bin = Bin(GlyphW, GlyphH, rows)
+
+  val glyphs: Map[Char, Bin] = Map(
+    'A' -> g(".###.", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
+    'B' -> g("####.", "#...#", "#...#", "####.", "#...#", "#...#", "####."),
+    'C' -> g(".###.", "#...#", "#....", "#....", "#....", "#...#", ".###."),
+    'D' -> g("####.", "#...#", "#...#", "#...#", "#...#", "#...#", "####."),
+    'E' -> g("#####", "#....", "#....", "####.", "#....", "#....", "#####"),
+    'F' -> g("#####", "#....", "#....", "####.", "#....", "#....", "#...."),
+    'G' -> g(".###.", "#...#", "#....", "#.###", "#...#", "#...#", ".####"),
+    'H' -> g("#...#", "#...#", "#...#", "#####", "#...#", "#...#", "#...#"),
+    'I' -> g(".###.", "..#..", "..#..", "..#..", "..#..", "..#..", ".###."),
+    'J' -> g("..###", "...#.", "...#.", "...#.", "...#.", "#..#.", ".##.."),
+    'K' -> g("#...#", "#..#.", "#.#..", "##...", "#.#..", "#..#.", "#...#"),
+    'L' -> g("#....", "#....", "#....", "#....", "#....", "#....", "#####"),
+    'M' -> g("#...#", "##.##", "#.#.#", "#.#.#", "#...#", "#...#", "#...#"),
+    'N' -> g("#...#", "##..#", "##..#", "#.#.#", "#..##", "#..##", "#...#"),
+    'O' -> g(".###.", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."),
+    'P' -> g("####.", "#...#", "#...#", "####.", "#....", "#....", "#...."),
+    'Q' -> g(".###.", "#...#", "#...#", "#...#", "#.#.#", "#..#.", ".##.#"),
+    'R' -> g("####.", "#...#", "#...#", "####.", "#.#..", "#..#.", "#...#"),
+    'S' -> g(".####", "#....", "#....", ".###.", "....#", "....#", "####."),
+    'T' -> g("#####", "..#..", "..#..", "..#..", "..#..", "..#..", "..#.."),
+    'U' -> g("#...#", "#...#", "#...#", "#...#", "#...#", "#...#", ".###."),
+    'V' -> g("#...#", "#...#", "#...#", "#...#", "#...#", ".#.#.", "..#.."),
+    'W' -> g("#...#", "#...#", "#...#", "#.#.#", "#.#.#", "##.##", "#...#"),
+    'X' -> g("#...#", "#...#", ".#.#.", "..#..", ".#.#.", "#...#", "#...#"),
+    'Y' -> g("#...#", "#...#", ".#.#.", "..#..", "..#..", "..#..", "..#.."),
+    'Z' -> g("#####", "....#", "...#.", "..#..", ".#...", "#....", "#####"),
+    '0' -> g(".###.", "#...#", "#..##", "#.#.#", "##..#", "#...#", ".###."),
+    '1' -> g("..#..", ".##..", "..#..", "..#..", "..#..", "..#..", ".###."),
+    '2' -> g(".###.", "#...#", "....#", "...#.", "..#..", ".#...", "#####"),
+    '3' -> g(".###.", "#...#", "....#", "..##.", "....#", "#...#", ".###."),
+    '4' -> g("...#.", "..##.", ".#.#.", "#..#.", "#####", "...#.", "...#."),
+    '5' -> g("#####", "#....", "####.", "....#", "....#", "#...#", ".###."),
+    '6' -> g(".###.", "#....", "#....", "####.", "#...#", "#...#", ".###."),
+    '7' -> g("#####", "....#", "...#.", "..#..", ".#...", ".#...", ".#..."),
+    '8' -> g(".###.", "#...#", "#...#", ".###.", "#...#", "#...#", ".###."),
+    '9' -> g(".###.", "#...#", "#...#", ".####", "....#", "....#", ".###."),
+  )
+
+  /** Alphabet the synthetic corpus draws from. */
+  val alphabet: IndexedSeq[Char] = glyphs.keys.toIndexedSeq.sorted
+
+  /** Tight-cropped template per char (drops blank border rows/cols so a
+    * segmented component bbox can be compared directly). */
+  val templates: Map[Char, Bin] = glyphs.map { case (c, b) => c -> tightCrop(b) }
+
+  /** Reverse index: tight template (dims + bits) → char. Templates are
+    * pairwise distinct (pinned by a unit test). */
+  private val byBits: Map[(Int, Int, Seq[Boolean]), Char] =
+    templates.map { case (c, b) => (b.w, b.h, b.b.toSeq) -> c }
+
+  /** Exact classification of a tight-cropped glyph bitmap.
+    * Returns (char, confidence=1.0) on exact match; otherwise the best
+    * template by matching-pixel ratio with deterministic tie-break. */
+  def classify(cell: Bin): (Char, Double) = {
+    byBits.get((cell.w, cell.h, cell.b.toSeq)) match {
+      case Some(c) => (c, 1.0)
+      case None =>
+        var bestC = '?'
+        var bestScore = -1.0
+        for (ch <- alphabet) {
+          val t = templates(ch)
+          val score =
+            if (t.w != cell.w || t.h != cell.h) 0.0
+            else {
+              var eq = 0
+              var i = 0
+              while (i < t.b.length) { if (t.b(i) == cell.b(i)) eq += 1; i += 1 }
+              eq.toDouble / t.b.length
+            }
+          if (score > bestScore) { bestScore = score; bestC = ch }
+        }
+        (bestC, math.max(0.0, bestScore))
+    }
+  }
+
+  def tightCrop(b: Bin): Bin = {
+    var minX = b.w; var minY = b.h; var maxX = -1; var maxY = -1
+    var y = 0
+    while (y < b.h) {
+      var x = 0
+      while (x < b.w) {
+        if (b(x, y)) {
+          if (x < minX) minX = x
+          if (x > maxX) maxX = x
+          if (y < minY) minY = y
+          if (y > maxY) maxY = y
+        }
+        x += 1
+      }
+      y += 1
+    }
+    if (maxX < 0) new Bin(0, 0, Array.empty)
+    else b.crop(graft.core.BBox(minX, minY, maxX + 1, maxY + 1))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.kernel
+
+import graft.core.{BBox, Crop, TextLine}
+import graft.img.{Bin, Comp, ConnectedComponents, Gray, Otsu}
+import scala.collection.mutable.ArrayBuffer
+
+/** The Spark-native recognition kernel (north_star): Otsu binarization →
+  * orientation detection + deskew → margin crop → connected-component
+  * line/word segmentation → glyph classification. Replaces the reference's
+  * Surya RecognitionPredictor + tesseract OSD
+  * (classes/ocr_processor.py:102-119, :268-295) with a deterministic
+  * classical pipeline. All integer arithmetic — bit-stable across JVMs and
+  * partition counts (SURVEY §7.5).
+  */
+object Recognize {
+
+  /** Minimum component size: anything smaller is scanner noise and dropped
+    * (F9 — small-contour filtering, table_detection.py:205-214). */
+  val MinCompArea = 3
+  /** Blank-column gap at or above which two glyph groups are separate words
+    * (renderer word gap is 4 logical px; worst intra-word tight gap is 3). */
+  val WordGapMin = 4
+  /** Row gap above which components belong to different text lines
+    * (line leading is 5 logical px). */
+  val LineGap = 4
+
+  final case class PageResult(lines: Vector[TextLine], confidences: Vector[Double]) {
+    def text: String = lines.map(_.text).mkString("\n")
+  }
+
+  /** Full media-span path: stored (possibly rotated) 2x grayscale in,
+    * recognized text out. */
+  def recognizeStored(stored: Gray, crop: Crop): PageResult = {
+    val logical = stored.downsample(PageScale) // resize-to-height analog (T1)
+    val bin = Otsu.binarizeInv(logical)        // T11 contract
+    val angle = detectOrientation(bin)          // T4 (classical OSD)
+    val upright = rotate(bin, angle)            // T5 — 180 left as-is (quirk)
+    val body = upright.crop(BBox(crop.left, crop.top,
+                                 upright.w - crop.right, upright.h - crop.bottom))
+    segmentAndClassify(body)
+  }
+
+  /** Render scale of the synthetic corpus (pages arrive at 2x). */
+  val PageScale = 2
+
+  /** Rotate by 0/90/270 only; a 180 request warns and returns the input
+    * unrotated — the reference's intentional quirk (pdf_parser.py:413-435,
+    * observed live on F2024007: "Wrong rotation asked for 180"). */
+  def rotate(b: Bin, deg: Int): Bin = deg match {
+    case 0 | 90 | 270 => b.rotateCCW(deg)
+    case 180 =>
+      System.err.println(s" Wrong rotation asked for 180")
+      b
+    case d => throw new IllegalArgumentException(s"rotation $d")
+  }
+
+  /** Orientation detection — classical stand-in for tesseract OSD
+    * (ocr_processor.py:268-295). Aspect ratio narrows candidates (synthetic
+    * pages are portrait), then the candidate whose first text lines yield
+    * the most exact glyph-template hits wins. May return 180, which
+    * rotate() deliberately ignores. */
+  def detectOrientation(bin: Bin): Int = {
+    val candidates = if (bin.w < bin.h) Seq(0, 180) else Seq(90, 270)
+    var best = candidates.head
+    var bestScore = -1
+    for (c <- candidates) {
+      val score = glyphHitScore(bin.rotateCCW(c))
+      if (score > bestScore) { bestScore = score; best = c }
+    }
+    best
+  }
+
+  /** Count exact template matches over the first two segmented lines. */
+  private def glyphHitScore(b: Bin): Int = {
+    val comps = filteredComps(b)
+    val lines = Clustering.cluster(comps, LineGap)(_.bbox.y1).take(2)
+    var hits = 0
+    for (line <- lines; comp <- line.sortBy(_.bbox.x1)) {
+      val cell = GlyphFont.tightCrop(b.crop(comp.bbox))
+      if (GlyphFont.classify(cell)._2 == 1.0) hits += 1
+    }
+    hits
+  }
+
+  private def filteredComps(b: Bin): IndexedSeq[Comp] =
+    ConnectedComponents.label(b).filter(_.area >= MinCompArea)
+
+  /** CC line/word segmentation + glyph classification over a cropped,
+    * upright binary body. */
+  def segmentAndClassify(body: Bin): PageResult = {
+    val comps = filteredComps(body)
+    val lineClusters = Clustering.cluster(comps, LineGap)(_.bbox.y1)
+    val lines = new ArrayBuffer[TextLine]
+    val confs = Vector.newBuilder[Double]
+    for (cluster <- lineClusters) {
+      val glyphs = groupGlyphs(cluster.sortBy(c => (c.bbox.x1, c.bbox.y1)))
+      val sb = new StringBuilder
+      var lineConfSum = 0.0
+      var n = 0
+      var prev: BBox = null
+      var lineBox: BBox = null
+      for (gb <- glyphs) {
+        if (prev != null && gb.x1 - prev.x2 >= WordGapMin) sb.append(' ')
+        val (ch, conf) = GlyphFont.classify(GlyphFont.tightCrop(body.crop(gb)))
+        sb.append(ch)
+        confs += conf
+        lineConfSum += conf
+        n += 1
+        prev = gb
+        lineBox = if (lineBox == null) gb else lineBox.union(gb)
+      }
+      if (n > 0)
+        lines += TextLine(lineBox, sb.toString, lineConfSum / n)
+    }
+    // reading-order sort (O1, image_builder.py:239-243): by (y, x)
+    val sorted = lines.sortBy(l => (l.bbox.y1, l.bbox.x1)).toVector
+    PageResult(sorted, confs.result())
+  }
+
+  /** Merge x-overlapping/touching components into glyph cells; every gap of
+    * >= 1 blank column separates glyphs (renderer letter gap = 1). */
+  private def groupGlyphs(sorted: Seq[Comp]): Vector[BBox] = {
+    val out = Vector.newBuilder[BBox]
+    var cur: BBox = null
+    for (c <- sorted) {
+      if (cur == null) cur = c.bbox
+      else if (c.bbox.x1 <= cur.x2 - 1) cur = cur.union(c.bbox) // overlap/touch
+      else { out += cur; cur = c.bbox }
+    }
+    if (cur != null) out += cur
+    out.result()
+  }
+}

@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import graft.core.{Doc, Span}
+import graft.kernel.{ExtractKernel, KernelStats, MediaStore, SyntheticStore}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Output row: extracted doc + per-doc kernel metadata that the lineage
+  * aggregation consumes (columns pruned away by public readers). */
+case class OutRow(
+    doc_id: String,
+    spans: Seq[Span],
+    part_id: Int,
+    span_count: Long,
+    media_span_count: Long,
+    text_span_count: Long,
+    conf_hist: Seq[Long])
+
+/** One span routed through the exploded (skew-breaking) path. */
+case class SpanRow(doc_id: String, kind: String, text: String,
+                   media_ref: String, offset: Int, is_cover: Boolean)
+case class SpanOut(doc_id: String, kind: String, text: String,
+                   media_ref: String, offset: Int,
+                   media_cnt: Long, text_cnt: Long, conf_hist: Seq[Long])
+
+/** The production extraction run — the Spark lifecycle equivalent of
+  * joradp_parse.py (SURVEY §3.1):
+  *
+  *   snapshot read → checkpoint anti-join → skew-routed repartition →
+  *   one fused mapPartitions(kernel) → write output + lineage + checkpoint.
+  *
+  * Skew plan (SURVEY §4): documents are atomic units of kernel work, so a
+  * multi-hundred-page doc would stall its partition at 4N scale. Docs with
+  * size(spans) >= cfg.skewSpanThreshold are exploded to per-span rows,
+  * processed span-parallel, and reassembled with
+  * groupByKey → sort-by-offset (interleaving restored by `offset`,
+  * property-tested); everything else takes the narrow fused path with no
+  * post-kernel shuffle.
+  */
+object ExtractJob {
+
+  final case class Config(
+      buckets: Int = 32,
+      skewSpanThreshold: Int = 64,
+      store: MediaStore = SyntheticStore)
+
+  /** Pure transformation: input docs → extracted OutRows. */
+  def extract(spark: SparkSession, input: Dataset[Doc], cfg: Config): Dataset[OutRow] = {
+    import spark.implicits._
+    val store = cfg.store
+
+    val small = input.filter(size(col("spans")) < cfg.skewSpanThreshold).as[Doc]
+    val heavy = input.filter(size(col("spans")) >= cfg.skewSpanThreshold).as[Doc]
+
+    // ---- fused path: repartition by doc bucket, single narrow kernel stage
+    val fused: Dataset[OutRow] =
+      small.repartition(cfg.buckets, col("doc_id")).as[Doc]
+        .mapPartitions { docs =>
+          val pid = TaskContext.getPartitionId()
+          docs.map { doc =>
+            val st = new KernelStats
+            val out = ExtractKernel.extractDoc(doc, store, st)
+            OutRow(out.doc_id, out.spans, pid, st.spanCount,
+                   st.mediaSpanCount, st.textSpanCount, st.confHist.toSeq)
+          }
+        }
+
+    // ---- exploded path: span-level parallelism for skewed docs
+    val spanRows: Dataset[SpanRow] = heavy.flatMap { doc =>
+      val ordered = doc.spans.sortBy(_.offset)
+      val coverIdx = ordered.indexWhere(_.kind == "media")
+      ordered.zipWithIndex.map { case (s, i) =>
+        SpanRow(doc.doc_id, s.kind, s.text, s.media_ref, s.offset, i == coverIdx)
+      }
+    }
+    val spanOuts: Dataset[SpanOut] = spanRows
+      .repartition(cfg.buckets, col("doc_id"), col("offset"))
+      .as[SpanRow]
+      .mapPartitions { it =>
+        it.filter(!_.is_cover).map { s =>
+          val st = new KernelStats
+          val crop = graft.kernel.CropConfig.lookup(s.doc_id)
+          s.kind match {
+            case "media" =>
+              val page = graft.kernel.Recognize.recognizeStored(
+                store.decode(s.media_ref), crop)
+              page.confidences.foreach(st.addConf)
+              SpanOut(s.doc_id, "media", page.text, s.media_ref, s.offset,
+                      1L, 0L, st.confHist.toSeq)
+            case "text" =>
+              SpanOut(s.doc_id, "text",
+                      graft.kernel.BoilerplateStrip.strip(s.text), "",
+                      s.offset, 0L, 1L, st.confHist.toSeq)
+            case other =>
+              throw new IllegalArgumentException(s"unknown span kind '$other'")
+          }
+        }
+      }
+    val reassembled: Dataset[OutRow] = spanOuts
+      .groupByKey(_.doc_id)
+      .mapGroups { (docId, it) =>
+        val ss = it.toVector.sortBy(_.offset) // restore interleaving
+        val hist = new Array[Long](10)
+        var media = 0L
+        var text = 0L
+        for (s <- ss) {
+          var i = 0
+          while (i < 10) { hist(i) += s.conf_hist(i); i += 1 }
+          media += s.media_cnt
+          text += s.text_cnt
+        }
+        OutRow(docId,
+               ss.map(s => Span(s.kind, s.text, s.media_ref, s.offset)),
+               TaskContext.getPartitionId(), ss.length.toLong, media, text,
+               hist.toSeq)
+      }
+
+    fused.union(reassembled)
+  }
+
+  final case class RunSummary(snapshotId: String, docsProcessed: Long)
+
+  /** Full job: read pinned snapshot, anti-join the checkpoint table
+    * (supersedes the reference's max-filename watermark,
+    * joradp_parse.py:101-114 — SURVEY §2.1 S7), extract, write output +
+    * lineage + checkpoint. Calling it again after a kill processes only
+    * unfinished docs. */
+  def run(spark: SparkSession, inputPath: String, outPath: String,
+          ckptDir: String, cfg: Config = Config()): RunSummary = {
+    import spark.implicits._
+    val (inputDf, snapId) = SnapshotTable.read(spark, inputPath)
+    val input = inputDf.as[Doc]
+
+    val done: DataFrame = Checkpoint.doneDocs(spark, ckptDir, snapId)
+    val todo = input.join(done, Seq("doc_id"), "left_anti").as[Doc]
+
+    val out = extract(spark, todo, cfg)
+    out.write.mode(SaveMode.Append).parquet(outPath)
+
+    // lineage + checkpoint from the just-written files (column-pruned scan)
+    val written = spark.read.parquet(outPath)
+      .join(done, Seq("doc_id"), "left_anti") // rows from THIS run
+    Checkpoint.append(spark, ckptDir, snapId, written)
+    val n = Checkpoint.doneDocs(spark, ckptDir, snapId).count()
+    RunSummary(snapId, n)
+  }
+
+  /** Public view of the output table: just (doc_id, spans). */
+  def readOutput(spark: SparkSession, outPath: String): Dataset[Doc] = {
+    import spark.implicits._
+    spark.read.parquet(outPath).select("doc_id", "spans").as[Doc]
+  }
+}

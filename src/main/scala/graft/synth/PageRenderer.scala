@@ -1,0 +1,180 @@
+package graft.synth
+
+import graft.core.Crop
+import graft.img.Gray
+import graft.kernel.{CropConfig, GlyphFont}
+
+/** Deterministic synthetic page renderer — the stand-in for the reference's
+  * PyMuPDF 300-DPI rasterization (classes/pdf_parser.py:16-42) in a
+  * zero-egress container (SURVEY §2.1 S4). Decoding a media_ref
+  * re-renders the page from its seed; the recognition kernel then has to
+  * genuinely OCR the bitmap (Otsu → orientation → crop → CC segmentation →
+  * glyph classification) to recover the text.
+  *
+  * Pages are laid out in a 360x480 "logical" pixel space and rendered at
+  * 2x (720x960) with seeded per-pixel noise; the kernel's
+  * resizeToHeight/downsample(2) brings them back to logical scale
+  * (mirrors the reference's resize-to-1500px step, pdf_parser.py:44-59).
+  */
+object PageRenderer {
+  val LogicalW = 360
+  val LogicalH = 480
+  val Scale = 2
+
+  val HeaderY = 8           // inside every crop top band (min top = 36)
+  val FooterYFromBottom = 22 // inside every crop bottom band (min bottom = 26)
+  val BodyXPad = 8
+  val BodyYPad = 6
+
+  private val Words: Vector[String] = Vector(
+    "ARTICLE", "DECRET", "LOI", "ARRETE", "MINISTRE", "REPUBLIQUE",
+    "ALGERIENNE", "JOURNAL", "OFFICIEL", "NATIONALE", "PRESIDENT", "CONSEIL",
+    "PORTANT", "MODIFIANT", "RELATIF", "DISPOSITIONS", "CHAPITRE", "SECTION",
+    "FINANCES", "BUDGET", "EXERCICE", "DINARS", "NUMERO", "ANNEE", "VU",
+    "COMPLETANT", "EXECUTIF", "PREMIER", "GOUVERNEMENT", "SECRETAIRE",
+    "GENERAL", "DIRECTION", "SERVICE", "PUBLIC", "CODE", "CIVIL", "PENAL",
+    "COMMERCE", "TRAVAIL", "SANTE", "EDUCATION", "DEFENSE", "JUSTICE",
+    "INTERIEUR", "TRANSPORT", "ENERGIE", "AGRICULTURE", "COMMUNE",
+  )
+
+  /** Seed for a page's content stream. */
+  def pageSeed(docId: String, page: Int): Long =
+    Rng.fnv64(docId) * 0x9E3779B97F4A7C15L + page.toLong * 0xD1B54A32D192ED03L
+
+  /** One word: uppercase dictionary word or a 1-4 digit number. */
+  private def word(rng: Rng): String =
+    if (rng.nextInt(6) == 0) {
+      val len = rng.between(1, 4)
+      (0 until len).map(i => ('0' + (if (i == 0 && len > 1) rng.between(1, 9)
+                                     else rng.nextInt(10))).toChar).mkString
+    } else Words(rng.nextInt(Words.length))
+
+  /** Pixel width of a rendered word (5 px per glyph + 1 px letter gap). */
+  private def wordPx(wrd: String): Int = wrd.length * 6 - 1
+
+  /** The body lines of a page — this is the golden text for a media span. */
+  def bodyLines(docId: String, page: Int): Vector[String] = {
+    val crop = CropConfig.lookup(docId)
+    val rng = new Rng(pageSeed(docId, page))
+    val nLines = rng.between(6, 16)
+    val maxW = LogicalW - crop.left - crop.right - 2 * BodyXPad
+    Vector.tabulate(nLines) { _ =>
+      val sb = new StringBuilder
+      var px = 0
+      var continue = true
+      while (continue) {
+        val wrd = word(rng)
+        val need = (if (px == 0) 0 else GlyphFont.WordGap) + wordPx(wrd)
+        if (px + need <= maxW) {
+          if (px > 0) sb.append(' ')
+          sb.append(wrd)
+          px += need
+        } else continue = false
+      }
+      sb.toString
+    }
+  }
+
+  /** Golden recognized text for a media page (lines joined by \n). */
+  def bodyText(docId: String, page: Int): String =
+    bodyLines(docId, page).mkString("\n")
+
+  /** Stored rotation of a page: 0 (80%), 90 or 270 (10% each). The kernel
+    * must detect and undo it. 180 never occurs in the corpus — the
+    * reference leaves 180 unrotated by design (pdf_parser.py:425-433);
+    * that quirk is pinned by a unit test instead. */
+  def storedRotation(docId: String, page: Int): Int = {
+    val rng = new Rng(pageSeed(docId, page) ^ 0x5DEECE66DL)
+    rng.nextInt(10) match {
+      case 8 => 90
+      case 9 => 270
+      case _ => 0
+    }
+  }
+
+  /** Draw a line of text into the logical ink mask at (x0, y0). */
+  private def drawLine(mask: Array[Boolean], text: String, x0: Int, y0: Int): Unit = {
+    var x = x0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == ' ') x += GlyphFont.WordGap - GlyphFont.LetterGap
+      else {
+        val gl = GlyphFont.glyphs(c)
+        var gy = 0
+        while (gy < GlyphFont.GlyphH) {
+          var gx = 0
+          while (gx < GlyphFont.GlyphW) {
+            if (gl(gx, gy)) mask((y0 + gy) * LogicalW + x + gx) = true
+            gx += 1
+          }
+          gy += 1
+        }
+        x += GlyphFont.GlyphW + GlyphFont.LetterGap
+      }
+      i += 1
+    }
+  }
+
+  /** Render the stored (possibly rotated) 2x noisy grayscale page. */
+  def render(docId: String, page: Int): Gray = {
+    val crop: Crop = CropConfig.lookup(docId)
+    val mask = new Array[Boolean](LogicalW * LogicalH)
+    // header & footer live strictly inside the crop bands (removed before
+    // recognition, like the reference's margin crop joradp_parse.py:143-149)
+    drawLine(mask, s"$docId PAGE ${page.toString}", crop.left + BodyXPad, HeaderY)
+    drawLine(mask, s"PAGE ${page.toString}", crop.left + BodyXPad,
+             LogicalH - FooterYFromBottom)
+    val lines = bodyLines(docId, page)
+    val x0 = crop.left + BodyXPad
+    var y = crop.top + BodyYPad
+    for (ln <- lines) {
+      drawLine(mask, ln, x0, y)
+      y += GlyphFont.LinePitch
+    }
+    // margin specks in leading rows: become 1-px components the kernel's
+    // noise filter must drop (F9, table_detection.py:205-214 analog)
+    val speckRng = new Rng(pageSeed(docId, page) ^ 0xBADC0DEL)
+    val nSpecks = speckRng.between(4, 12)
+    var s = 0
+    while (s < nSpecks) {
+      val li = speckRng.nextInt(lines.length)
+      val sy = crop.top + BodyYPad + li * GlyphFont.LinePitch +
+               GlyphFont.GlyphH + 1 + speckRng.nextInt(GlyphFont.Leading - 3)
+      val sx = crop.left + BodyXPad + speckRng.nextInt(
+        LogicalW - crop.left - crop.right - 2 * BodyXPad)
+      mask(sy * LogicalW + sx) = true
+      s += 1
+    }
+    // upscale 2x with seeded noise: ink in [18,42], background in [215,247]
+    val noise = new Rng(pageSeed(docId, page) ^ 0x0F0F0F0FL)
+    val w2 = LogicalW * Scale
+    val h2 = LogicalH * Scale
+    val px = new Array[Int](w2 * h2)
+    var yy = 0
+    while (yy < h2) {
+      var xx = 0
+      while (xx < w2) {
+        val ink = mask((yy / Scale) * LogicalW + (xx / Scale))
+        px(yy * w2 + xx) =
+          if (ink) 18 + noise.nextInt(25) else 215 + noise.nextInt(33)
+        xx += 1
+      }
+      yy += 1
+    }
+    new Gray(w2, h2, px).rotateCCW(storedRotation(docId, page))
+  }
+
+  /** media_ref scheme for the synthetic store. */
+  def mediaRef(docId: String, page: Int): String = s"synth://$docId/$page"
+
+  /** Decode a media_ref back to its stored bitmap — the kernel's
+    * "fetch + image codec" step (SURVEY §2.1 S4). */
+  def decode(ref: String): Gray = ref match {
+    case s if s.startsWith("synth://") =>
+      val rest = s.stripPrefix("synth://")
+      val slash = rest.lastIndexOf('/')
+      render(rest.substring(0, slash), rest.substring(slash + 1).toInt)
+    case other => throw new IllegalArgumentException(s"unknown media_ref $other")
+  }
+}

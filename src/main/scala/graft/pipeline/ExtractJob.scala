@@ -119,13 +119,17 @@ object ExtractJob {
     fused.union(reassembled)
   }
 
-  final case class RunSummary(snapshotId: String, docsProcessed: Long)
+  final case class RunSummary(snapshotId: String, docsProcessed: Long,
+                              docsThisRun: Long)
 
   /** Full job: read pinned snapshot, anti-join the checkpoint table
     * (supersedes the reference's max-filename watermark,
     * joradp_parse.py:101-114 — SURVEY §2.1 S7), extract, write output +
-    * lineage + checkpoint. Calling it again after a kill processes only
-    * unfinished docs. */
+    * lineage + checkpoint. Each run writes to its own `run=<id>` partition
+    * subdirectory so lineage/checkpoint rows are derived from a
+    * column-pruned re-scan of exactly this run's files — never a
+    * read-modify-write of a directory a concurrent scan is planned over.
+    * Calling run() again after a kill processes only unfinished docs. */
   def run(spark: SparkSession, inputPath: String, outPath: String,
           ckptDir: String, cfg: Config = Config()): RunSummary = {
     import spark.implicits._
@@ -135,15 +139,15 @@ object ExtractJob {
     val done: DataFrame = Checkpoint.doneDocs(spark, ckptDir, snapId)
     val todo = input.join(done, Seq("doc_id"), "left_anti").as[Doc]
 
+    val runId = s"${snapId}_${System.nanoTime()}"
     val out = extract(spark, todo, cfg)
-    out.write.mode(SaveMode.Append).parquet(outPath)
+    out.write.mode(SaveMode.ErrorIfExists).parquet(s"$outPath/run=$runId")
 
-    // lineage + checkpoint from the just-written files (column-pruned scan)
-    val written = spark.read.parquet(outPath)
-      .join(done, Seq("doc_id"), "left_anti") // rows from THIS run
+    val written = spark.read.parquet(s"$outPath/run=$runId")
     Checkpoint.append(spark, ckptDir, snapId, written)
+    val thisRun = written.select("doc_id").count()
     val n = Checkpoint.doneDocs(spark, ckptDir, snapId).count()
-    RunSummary(snapId, n)
+    RunSummary(snapId, n, thisRun)
   }
 
   /** Public view of the output table: just (doc_id, spans). */

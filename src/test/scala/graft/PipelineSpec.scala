@@ -1,0 +1,132 @@
+package graft
+
+import graft.core.{Doc, Span}
+import graft.pipeline._
+import graft.synth.CorpusGen
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  private def asMap(docs: Seq[Doc]): Map[String, Seq[Span]] =
+    docs.map(d => d.doc_id -> d.spans.sortBy(_.offset)).toMap
+
+  /** The BASELINE invariant: exact span-sequence equality per doc. */
+  private def assertSpanEquality(got: Seq[Doc], want: Seq[Doc]): Unit = {
+    val g = asMap(got)
+    val w = asMap(want)
+    assert(g.keySet == w.keySet)
+    for (id <- w.keySet) {
+      val gs = g(id).map(s => (s.kind, s.text, s.media_ref, s.offset))
+      val ws = w(id).map(s => (s.kind, s.text, s.media_ref, s.offset))
+      assert(gs == ws, s"span sequence mismatch for $id")
+    }
+  }
+
+  test("snapshot table: commit produces stable content-hash id") {
+    import spark.implicits._
+    val dir = tmp("snap")
+    val (inputs, _) = CorpusGen.corpus(4)
+    val id1 = SnapshotTable.write(inputs.toDS.toDF, dir, buckets = 2)
+    assert(SnapshotTable.currentSnapshotId(dir) == id1)
+    val (df, id2) = SnapshotTable.read(spark, dir)
+    assert(id2 == id1)
+    assert(df.count() == 4)
+  }
+
+  test("end-to-end: extract job output matches goldens exactly") {
+    import spark.implicits._
+    val in = tmp("in"); val out = tmp("out"); val ck = tmp("ck")
+    val (inputs, goldens) = CorpusGen.corpus(12)
+    SnapshotTable.write(inputs.toDS.toDF, in, buckets = 4)
+    val sum = ExtractJob.run(spark, in, out, ck)
+    assert(sum.docsProcessed == 12 && sum.docsThisRun == 12)
+    assertSpanEquality(ExtractJob.readOutput(spark, out).collect().toSeq, goldens)
+  }
+
+  test("fused and exploded paths produce identical results") {
+    import spark.implicits._
+    val (inputs, goldens) = CorpusGen.corpus(8)
+    val ds = inputs.toDS
+    val fusedOnly = ExtractJob.extract(spark, ds,
+      ExtractJob.Config(buckets = 4, skewSpanThreshold = Int.MaxValue))
+    val explodedOnly = ExtractJob.extract(spark, ds,
+      ExtractJob.Config(buckets = 4, skewSpanThreshold = 0))
+    val f = fusedOnly.collect().map(r => Doc(r.doc_id, r.spans)).toSeq
+    val e = explodedOnly.collect().map(r => Doc(r.doc_id, r.spans)).toSeq
+    assertSpanEquality(f, goldens)
+    assertSpanEquality(e, goldens)
+  }
+
+  test("resume: a second run reprocesses nothing and duplicates nothing") {
+    import spark.implicits._
+    val in = tmp("in2"); val out = tmp("out2"); val ck = tmp("ck2")
+    val (inputs, goldens) = CorpusGen.corpus(6)
+    SnapshotTable.write(inputs.toDS.toDF, in, buckets = 2)
+    val r1 = ExtractJob.run(spark, in, out, ck)
+    val r2 = ExtractJob.run(spark, in, out, ck)
+    assert(r1.docsThisRun == 6)
+    assert(r2.docsThisRun == 0, "second run must not reprocess")
+    assert(r2.docsProcessed == 6)
+    assertSpanEquality(ExtractJob.readOutput(spark, out).collect().toSeq, goldens)
+  }
+
+  test("resume: killed-halfway run completes only the remainder") {
+    import spark.implicits._
+    val in = tmp("in3"); val out = tmp("out3"); val ck = tmp("ck3")
+    val (inputs, goldens) = CorpusGen.corpus(10)
+    SnapshotTable.write(inputs.toDS.toDF, in, buckets = 2)
+    val snapId = SnapshotTable.currentSnapshotId(in)
+    // simulate a prior run that completed the first half before dying
+    val half = inputs.take(5).map(_.doc_id).toSet
+    val partial = ExtractJob.extract(
+      spark, inputs.filter(d => half(d.doc_id)).toDS, ExtractJob.Config(buckets = 2))
+    partial.write.parquet(s"$out/run=${snapId}_prior")
+    Checkpoint.append(spark, ck, snapId,
+                      spark.read.parquet(s"$out/run=${snapId}_prior"))
+    // the resumed run must process exactly the other 5 docs
+    val r = ExtractJob.run(spark, in, out, ck)
+    assert(r.docsThisRun == 5, s"expected 5 remaining, got ${r.docsThisRun}")
+    assert(r.docsProcessed == 10)
+    val outDocs = ExtractJob.readOutput(spark, out).collect().toSeq
+    assert(outDocs.map(_.doc_id).distinct.size == 10, "no duplicates")
+    assertSpanEquality(outDocs, goldens)
+  }
+
+  test("lineage rows carry per-partition counts and confidence histograms") {
+    import spark.implicits._
+    val in = tmp("in4"); val out = tmp("out4"); val ck = tmp("ck4")
+    val (inputs, _) = CorpusGen.corpus(6)
+    SnapshotTable.write(inputs.toDS.toDF, in, buckets = 2)
+    ExtractJob.run(spark, in, out, ck)
+    val lin = Checkpoint.lineage(spark, ck)
+    val tot = lin.agg(
+      sum("doc_count").as("d"), sum("span_count").as("s"),
+      sum("media_span_count").as("m"), sum("text_span_count").as("t")).head
+    assert(tot.getLong(0) == 6)
+    assert(tot.getLong(1) == tot.getLong(2) + tot.getLong(3))
+    val hist = lin.select(
+      aggregate(collect_list(col("conf_histogram")), array_repeat(lit(0L), 10),
+                (a, x) => zip_with(a, x, (p, q) => p + q)).as("h")
+    ).head.getSeq[Long](0)
+    assert(hist.sum > 0, "confidence histogram must be populated")
+    assert(hist(9) == hist.sum, "exact-match kernel → all confidences 1.0")
+  }
+
+  test("fused path plan shape: exactly one exchange before the kernel stage") {
+    import spark.implicits._
+    val (inputs, _) = CorpusGen.corpus(2)
+    // all docs below threshold → exploded branch is empty at runtime;
+    // plan still contains its 2 exchanges (repartition + groupBy), so the
+    // full union plan must have exactly 3 — 1 on the fused branch.
+    val out = ExtractJob.extract(spark, inputs.toDS,
+      ExtractJob.Config(buckets = 4, skewSpanThreshold = Int.MaxValue))
+    val plan = out.queryExecution.executedPlan.toString()
+    val exchanges = "(?i)exchange".r.findAllIn(plan).size
+    assert(exchanges == 3, s"expected 3 exchanges in union plan, got $exchanges:\n$plan")
+  }
+}

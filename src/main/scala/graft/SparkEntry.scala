@@ -1,13 +1,241 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import graft.operators.{CorpusOps, RelationalOps}
+import graft.pipeline.ExtractJob
+import graft.synth.CorpusGen
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the full extraction pipeline (fused kernel + skew path) on a
+    * deterministic synthetic interleaved-span corpus; returns exploded
+    * recognized spans. Driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = extractSpans(spark, nDocs = 8)
+
+  private def extractSpans(spark: SparkSession, nDocs: Int): DataFrame = {
+    import spark.implicits._
+    val (inputs, _) = CorpusGen.corpus(nDocs)
+    val out = ExtractJob.extract(spark, inputs.toDS(),
+      ExtractJob.Config(buckets = math.min(32, nDocs), skewSpanThreshold = 9))
+    out.select(col("doc_id"), explode(col("spans")).as("span"))
+      .select(col("doc_id"), col("span.offset").as("offset"),
+              col("span.kind").as("kind"), col("span.media_ref").as("media_ref"),
+              length(col("span.text")).as("text_len"), col("span.text").as("text"))
+      .orderBy("doc_id", "offset")
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2. Signature:
+    * (session, sf dir with the driver's parquet tables) => result. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational operator surface (SURVEY §2.4-2.6)
+    "q1_pricing" -> ((s, d) => RelationalOps.q1Pricing(s, d)),
+    "q2_segment_revenue" -> ((s, d) => RelationalOps.q2SegmentRevenue(s, d)),
+    "q3_best_order" -> ((s, d) => RelationalOps.q3BestOrderPerCustomer(s, d)),
+    "q4_cust_no_orders" -> ((s, d) => RelationalOps.q4CustomersWithoutOrders(s, d)),
+    "q5_active_suppliers" -> ((s, d) => RelationalOps.q5ActiveSuppliers(s, d)),
+    "q6_range_config" -> ((s, d) => RelationalOps.q6RangeConfigJoin(s, d)),
+    "q7_sessionize" -> ((s, d) => RelationalOps.q7Sessionize(s, d)),
+    "q8_event_dedup" -> ((s, d) => RelationalOps.q8EventDedup(s, d)),
+    "q9_banding" -> ((s, d) => RelationalOps.q9Banding(s, d)),
+    "q10_grid_cells" -> ((s, d) => RelationalOps.q10GridCells(s, d)),
+    "q11_iou_match" -> ((s, d) => RelationalOps.q11IouBestMatch(s, d)),
+    // training-data pipeline operators
+    "d1_dedup_exact" -> ((s, d) => CorpusOps.d1DedupExact(s, d)),
+    "d2_ngram_jaccard" -> ((s, d) => CorpusOps.d2NgramJaccard(s, d)),
+    "d3_token_stats" -> ((s, d) => CorpusOps.d3TokenStats(s, d)),
+    "d4_lang_markers" -> ((s, d) => CorpusOps.d4LangMarkers(s, d)),
+    "d5_quality" -> ((s, d) => CorpusOps.d5Quality(s, d)),
+    "d6_simhash_pairs" -> ((s, d) => CorpusOps.d6SimHashPairs(s, d)),
+    "d7_minhash_lsh" -> ((s, d) => CorpusOps.d7MinHashLsh(s, d)),
+    "d8_fingerprints" -> ((s, d) => CorpusOps.d8Fingerprints(s, d)),
+    "e1_knn_brute" -> ((s, d) => CorpusOps.e1KnnBrute(s, d)),
+    "e2_ann_lsh" -> ((s, d) => CorpusOps.e2AnnLsh(s, d)),
+    // extraction pipeline (rows-only: not SQL-expressible)
+    "x1_extract_spans" -> ((s, _) => extractSpans(s, 24)),
+  )
+
+  /** DuckDB oracles (same parquet tables registered by table name). Omitted
+    * for non-SQL-expressible ops (custom hash kernels, the OCR pipeline) —
+    * driver records a weaker rows-only check; those are covered by
+    * ScalaTest oracles instead. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q2_segment_revenue" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q3_best_order" ->
+      """SELECT o_custkey, best_order, best_price FROM (
+           SELECT o_custkey, o_orderkey AS best_order,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS best_price,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
+    "q4_cust_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q5_active_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+                       AND l_shipdate >= TIMESTAMP '2000-06-01 00:00:00')
+         ORDER BY s_suppkey""",
+    "q6_range_config" ->
+      """WITH cfg(lo, hi, band) AS (VALUES
+           (0, 99, 'band_a'), (100, 249, 'band_b'),
+           (250, 449, 'band_c'), (450, 999, 'band_d'))
+         SELECT band, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         FROM documents JOIN cfg ON (doc_id % 1000) BETWEEN lo AND hi
+         GROUP BY band ORDER BY band""",
+    "q7_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+                  ts FROM events),
+         g AS (
+           SELECT user_id, sec - LAG(sec, 1) OVER w AS gap
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         b AS (
+           SELECT user_id, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS brk
+           FROM g)
+         SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+         FROM b GROUP BY user_id ORDER BY user_id""",
+    "q8_event_dedup" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+           FROM events),
+         g AS (
+           SELECT user_id, sec - LAG(sec, 1) OVER w AS gap
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, COUNT(*) AS n_kept FROM g
+         WHERE gap IS NULL OR gap > 60
+         GROUP BY user_id ORDER BY user_id""",
+    "q9_banding" ->
+      """WITH a AS (
+           SELECT lang, CAST(FLOOR(SUM(n_chars) * 1.0 / COUNT(*)) AS BIGINT) AS avg_chars
+           FROM documents GROUP BY lang),
+         t AS (
+           SELECT d.lang,
+                  d.n_chars // GREATEST(1, (3 * a.avg_chars) // 10) AS band
+           FROM documents d JOIN a ON d.lang = a.lang)
+         SELECT lang, band, COUNT(*) AS n_docs FROM t
+         GROUP BY lang, band ORDER BY lang, band""",
+    "q10_grid_cells" ->
+      """WITH r AS (SELECT DISTINCT l_linenumber AS rid FROM lineitem),
+            c AS (SELECT DISTINCT p_size AS cid FROM part)
+         SELECT rid, cid, cid * 15 AS x1, rid * 20 AS y1,
+                cid * 15 + 12 AS x2, rid * 20 + 18 AS y2
+         FROM r CROSS JOIN c ORDER BY rid, cid""",
+    "q11_iou_match" ->
+      """WITH preds AS (
+           SELECT o_orderkey AS pred_id, o_orderkey % 4 AS page,
+                  (o_orderkey * 13) % 400 AS px1, (o_orderkey * 29) % 400 AS py1,
+                  (o_orderkey * 13) % 400 + 40 + o_orderkey % 60 AS px2,
+                  (o_orderkey * 29) % 400 + 30 + o_orderkey % 45 AS py2
+           FROM orders WHERE o_orderkey % 97 = 0),
+         gts AS (
+           SELECT c_custkey AS gt_id, c_custkey % 4 AS page,
+                  (c_custkey * 17) % 400 AS gx1, (c_custkey * 23) % 400 AS gy1,
+                  (c_custkey * 17) % 400 + 45 + c_custkey % 55 AS gx2,
+                  (c_custkey * 23) % 400 + 35 + c_custkey % 40 AS gy2
+           FROM customer WHERE c_custkey % 31 = 0),
+         j AS (
+           SELECT pred_id, gt_id,
+                  GREATEST(0, LEAST(px2, gx2) - GREATEST(px1, gx1)) *
+                  GREATEST(0, LEAST(py2, gy2) - GREATEST(py1, gy1)) AS inter,
+                  (px2 - px1) * (py2 - py1) AS parea,
+                  (gx2 - gx1) * (gy2 - gy1) AS garea
+           FROM preds JOIN gts USING (page)),
+         s AS (
+           SELECT pred_id, gt_id,
+                  (inter * 1000000) // (parea + garea - inter) AS iou_e6,
+                  ROW_NUMBER() OVER (PARTITION BY pred_id
+                    ORDER BY (inter * 1000000) // (parea + garea - inter) DESC,
+                             gt_id ASC) AS rn
+           FROM j)
+         SELECT pred_id, gt_id, iou_e6,
+                CAST(iou_e6 >= 500000 AS INT) AS matched
+         FROM s WHERE rn = 1 ORDER BY pred_id""",
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+         MIN(doc_id) AS canonical
+         FROM documents GROUP BY md5(text) ORDER BY text_hash""",
+    "d2_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, tok, ord FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                    generate_subscripts(string_split(text, ' '), 1) AS ord
+             FROM documents WHERE doc_id < 300)
+           WHERE tok <> ''),
+         tri0 AS (
+           SELECT doc_id,
+                  tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS g,
+                  LEAD(tok, 2) OVER w AS t2
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+         tri AS (SELECT DISTINCT doc_id, g FROM tri0 WHERE t2 IS NOT NULL),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT doc_a, doc_b,
+                (inter * 1000000) // (sa.sz + sb.sz - inter) AS jac_e6
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE (inter * 1000000) // (sa.sz + sb.sz - inter) >= 100000
+         ORDER BY doc_a, doc_b""",
+    "d3_token_stats" ->
+      """SELECT doc_id,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+         length(replace(text, ' ', '')) AS n_nonspace
+         FROM documents ORDER BY doc_id""",
+    "d4_lang_markers" ->
+      """WITH t AS (
+           SELECT lang,
+                  CASE WHEN (length(text) - length(replace(text, 'the', ''))) // 3 >= 3
+                       THEN 'en' ELSE 'other' END AS predicted
+           FROM documents)
+         SELECT lang, predicted, COUNT(*) AS n_docs FROM t
+         GROUP BY lang, predicted ORDER BY lang, predicted""",
+    "d5_quality" ->
+      """WITH t AS (
+           SELECT CASE WHEN n_chars >= 100 AND n_chars <= 500 THEN 1 ELSE 0 END AS len_ok,
+                  CASE WHEN length(text) - length(replace(text, ' ', '')) + 1 >= 20
+                       THEN 1 ELSE 0 END AS tok_ok
+           FROM documents)
+         SELECT len_ok, tok_ok,
+                CASE WHEN len_ok = 1 AND tok_ok = 1 THEN 1 ELSE 0 END AS accepted,
+                COUNT(*) AS n_docs
+         FROM t GROUP BY len_ok, tok_ok ORDER BY len_ok, tok_ok""",
+    "e1_knn_brute" ->
+      """WITH qe AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                  CAST(list_sum(list_transform(list_zip(q.qv, n.qv),
+                    p -> p[1] * p[2])) AS DOUBLE) /
+                  sqrt(CAST(list_sum(list_transform(n.qv, x -> x * x)) AS DOUBLE))
+                    AS score
+           FROM qe q JOIN qe n ON q.vec_id < 10 AND n.vec_id <> q.vec_id),
+         r AS (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
+         ORDER BY query_id, rank""",
+  )
 }

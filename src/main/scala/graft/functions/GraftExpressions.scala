@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the text/vector kernels Spark lacks —
+  * native Expressions, not Scala UDFs, so they stay inside Catalyst
+  * planning (SURVEY §7.6; SNIPPETS.md[1] pattern). Registered under the
+  * session function registry for use via expr()/SQL.
+  */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(
+      TextHashes.simHash64(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(c)
+  override def prettyName: String = "simhash64"
+}
+
+case class Fnv64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(TextHashes.fnv64(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): Fnv64Expr = copy(c)
+  override def prettyName: String = "fnv64"
+}
+
+/** minhash_sig(text, k, shingleN) → array<long>. */
+case class MinHashSigExpr(child: Expression, k: Int, shingleN: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextHashes.minHashSig(v.asInstanceOf[UTF8String].toString, k, shingleN))
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** lsh_bucket(embedding: array<float>, nbits, seed) → long. */
+case class LshSignBucketExpr(child: Expression, nbits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData].toFloatArray()
+    java.lang.Long.valueOf(TextHashes.lshSignBucket(arr, nbits, seed))
+  }
+  override protected def withNewChildInternal(c: Expression): LshSignBucketExpr =
+    copy(child = c)
+  override def prettyName: String = "lsh_bucket"
+}
+
+/** fingerprint64(text, window) → long (winnowing-style min rolling hash). */
+case class FingerprintExpr(child: Expression, window: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(
+      TextHashes.fingerprint(v.asInstanceOf[UTF8String].toString, window))
+  override protected def withNewChildInternal(c: Expression): FingerprintExpr =
+    copy(child = c)
+  override def prettyName: String = "fingerprint64"
+}
+
+object GraftFunctions {
+  /** Idempotent session registration; call before using expr("simhash64(...)")
+    * etc. Integer args must be foldable literals. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def lit(e: Expression): Int =
+      e.eval(null) match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(s"expected int literal, got $other")
+      }
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("fnv64",
+      es => Fnv64Expr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      es => MinHashSigExpr(es.head, lit(es(1)), lit(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("lsh_bucket",
+      es => LshSignBucketExpr(es.head, lit(es(1)), lit(es(2)).toLong), "scala_udf")
+    reg.createOrReplaceTempFunction("fingerprint64",
+      es => FingerprintExpr(es.head, lit(es(1))), "scala_udf")
+  }
+}

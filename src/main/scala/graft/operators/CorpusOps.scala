@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.functions.{GraftFunctions, TextHashes}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data pipeline operators over the documents/embeddings tables:
+  * deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force + LSH-bucketed ANN), and text analysis (language
+  * markers, quality scoring, token stats, fingerprinting). These are
+  * first-class components of the engine at 100 TB scale — each is written
+  * shuffle-consciously (broadcast where small, band-bucketed joins instead
+  * of all-pairs, integer/decimal outputs for oracle-exact comparison).
+  */
+object CorpusOps {
+  import RelationalOps.table
+
+  /** d1: exact dedup via content-hash groupBy. */
+  def d1DedupExact(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical"))
+      .orderBy("text_hash")
+
+  /** Distinct word-trigram shingles per document (doc_id < bound). */
+  private def shingles(s: SparkSession, dir: String, bound: Long): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    table(s, dir, "documents")
+      .filter(col("doc_id") < bound)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+              concat_ws(" ", col("tok"), col("t1"), col("t2")).as("g"))
+      .distinct()
+  }
+
+  /** d2: exact n-gram Jaccard near-dup pairs — pair join on shared
+    * shingles (never all-pairs), integer-scaled similarity. */
+  def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir, 300L)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jac_e6", expr("(inter * 1000000) div (sz_a + sz_b - inter)"))
+      .filter(col("jac_e6") >= 100000)
+      .select(col("doc_a"), col("doc_b"), col("jac_e6"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d3: token statistics (whitespace tokenization, length arithmetic). */
+  def d3TokenStats(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("long").as("n_tokens"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace"))
+      .orderBy("doc_id")
+
+  /** d4: language-marker heuristic (n-gram language-ID stand-in): classify
+    * by stopword-occurrence count, cross-checked against the lang column. */
+  def d4LangMarkers(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("occ_the",
+        expr("(length(text) - length(replace(text, 'the', ''))) div 3"))
+      .withColumn("predicted", when(col("occ_the") >= 3, "en").otherwise("other"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+
+  /** d5: quality scoring: integer component scores + acceptance flag. */
+  def d5Quality(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .withColumn("n_tokens",
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+          .cast("long"))
+      .withColumn("len_ok", (col("n_chars") >= 100 && col("n_chars") <= 500).cast("int"))
+      .withColumn("tok_ok", (col("n_tokens") >= 20).cast("int"))
+      .withColumn("accepted", (col("len_ok") === 1 && col("tok_ok") === 1).cast("int"))
+      .groupBy(col("len_ok"), col("tok_ok"), col("accepted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("len_ok", "tok_ok", "accepted")
+
+  /** d6: SimHash near-dup candidates: native simhash64 Expression, 4x16-bit
+    * band bucketing (no all-pairs), hamming <= 6 via bit_count(xor).
+    * Rows-only (engine-specific hash → no SQL oracle); recall pinned by
+    * ScalaTest on planted near-duplicates. */
+  def d6SimHashPairs(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), expr("simhash64(text)").as("sh"))
+    val bands = docs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+               shiftrightunsigned(col("sh"), b * 16)
+                 .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+              bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d7: MinHash-LSH near-dup candidates: native minhash_sig Expression
+    * (k=24), 8 bands x 3 rows, bucket join, exact-Jaccard verification of
+    * candidates only. Rows-only + ScalaTest recall check. */
+  def d7MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val docs = table(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+              expr("minhash_sig(text, 24, 3)").as("sig"))
+    val bands = docs.select(col("doc_id"),
+      explode(array((0 until 8).map(b =>
+        struct(lit(b).as("band"),
+               hash(col("sig").getItem(3 * b), col("sig").getItem(3 * b + 1),
+                    col("sig").getItem(3 * b + 2)).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact shingle Jaccard (kernel-side, bounded)
+    val texts = docs.select(col("doc_id"), col("text"))
+    cand
+      .join(texts.withColumnRenamed("doc_id", "doc_a")
+                 .withColumnRenamed("text", "text_a"), "doc_a")
+      .join(texts.withColumnRenamed("doc_id", "doc_b")
+                 .withColumnRenamed("text", "text_b"), "doc_b")
+      .as[(Long, Long, String, String)]
+      .map { case (a, b, ta, tb) =>
+        val sa = TextHashes.shingleHashes(ta, 3).toSet
+        val sb = TextHashes.shingleHashes(tb, 3).toSet
+        val inter = sa.intersect(sb).size.toLong
+        val union = (sa.size + sb.size).toLong - inter
+        val jacE6 = if (union == 0) 0L else inter * 1000000L / union
+        (a, b, jacE6)
+      }
+      .toDF("doc_a", "doc_b", "jac_e6")
+      .filter(col("jac_e6") >= 100000)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d8: winnowing-style document fingerprints (rolling-hash min). */
+  def d8Fingerprints(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    table(s, dir, "documents")
+      .select(col("doc_id"), expr("fingerprint64(text, 5)").as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n"), min(col("doc_id")).as("canonical"))
+      .orderBy("fp")
+  }
+
+  /** Quantized-integer embedding columns: floor(x*1000) per element keeps
+    * all downstream arithmetic exact-integer → oracle-stable ordering. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
+
+  /** e1: brute-force cosine top-3 neighbors for the first 10 vectors —
+    * the exact baseline for similarity search. Rank key dot/sqrt(norm) is
+    * a deterministic double over integer inputs in any engine. */
+  def e1KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(s, dir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"))
+    val n = quantized(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"))
+    val scored = q.join(n, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", aggregate(
+        zip_with(col("qa"), col("qb"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("nb", aggregate(
+        zip_with(col("qb"), col("qb"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("score", col("dot").cast("double") /
+                           sqrt(col("nb").cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** e2: LSH-bucketed approximate NN — sign-random-projection buckets
+    * (native Expression), candidates share a bucket, exact re-rank inside.
+    * The scale path: bucket join instead of all-pairs. Rows-only. */
+  def e2AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = quantized(s, dir)
+      .join(table(s, dir, "embeddings").select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("bucket", expr("lsh_bucket(embedding, 6, 42)"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("bucket"))
+    val n = emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+                       col("bucket"))
+    val scored = q.join(n, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", aggregate(
+        zip_with(col("qa"), col("qb"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("nb", aggregate(
+        zip_with(col("qb"), col("qb"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("score", col("dot").cast("double") /
+                           sqrt(col("nb").cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+}

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator surface mapped from the reference's operator
+  * inventory (SURVEY §2) onto the driver's TPC-H-ish test tables. Every
+  * query here has a DuckDB oracle in SparkEntry.oracleSql; numeric outputs
+  * are decimal/integer only (float aggregation order is engine-specific and
+  * would break hash comparison).
+  */
+object RelationalOps {
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** q1: pricing summary — groupBy aggregate with decimal-exact sums
+    * (A8-style counters at relational scale). */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(28,4)").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q2: revenue per market segment — broadcast dim join (J1-class). */
+  def q2SegmentRevenue(s: SparkSession, dir: String): DataFrame = {
+    val orders = table(s, dir, "orders")
+    val cust = table(s, dir, "customer")
+    orders.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q3: argmax per group — top-1 window (O4, test_tables.py:284-292). */
+  def q3BestOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey").as("best_order"),
+        col("o_totalprice").cast("decimal(18,2)").as("best_price"))
+      .orderBy("o_custkey")
+  }
+
+  /** q4: left-anti join — the checkpoint-resume primitive (S7). */
+  def q4CustomersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "customer")
+      .join(table(s, dir, "orders"),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** q5: left-semi join — selective work-list filter (F2/J5). */
+  def q5ActiveSuppliers(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "supplier")
+      .join(table(s, dir, "lineitem")
+              .filter(col("l_shipdate") >= lit("2000-06-01").cast("timestamp")),
+            col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+
+  /** q6: broadcast interval (range) join — the crop-config lookup J1
+    * (joradp_parse.py:84-90) re-expressed over the documents table. */
+  def q6RangeConfigJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cfg = Seq(
+      (0L, 99L, "band_a"), (100L, 249L, "band_b"),
+      (250L, 449L, "band_c"), (450L, 999L, "band_d"))
+      .toDF("lo", "hi", "band")
+    table(s, dir, "documents")
+      .withColumn("k", col("doc_id") % 1000)
+      .join(broadcast(cfg), col("k").between(col("lo"), col("hi")))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+           min(col("doc_id")).as("min_doc"),
+           max(col("doc_id")).as("max_doc"))
+      .orderBy("band")
+  }
+
+  /** q7: gap-threshold sessionization — the relational form of the
+    * reference's 1-D clustering (A2, table_detection.py:387-441):
+    * lag + cumulative sum over event time, 1800 s gap. */
+  def q7Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(s, dir, "events")
+      .withColumn("sec", col("ts").cast("timestamp").cast("long"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .withColumn("brk", when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+      .withColumn("sess", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(max(col("sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** q8: proximity dedup — lag-window form of A3
+    * (table_detection.py:461-481): drop events within 60 s of the previous
+    * event of the same user. */
+  def q8EventDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(s, dir, "events")
+      .withColumn("sec", col("ts").cast("timestamp").cast("long"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNull || col("gap") > 60)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("user_id")
+  }
+
+  /** q9: mean + banding (A6, textheight-median.py:204-219 — the file name
+    * says median, the code computes mean; we keep mean): per-lang mean
+    * char count, band = n_chars div (3*avg/10), integer arithmetic only. */
+  def q9Banding(s: SparkSession, dir: String): DataFrame = {
+    val docs = table(s, dir, "documents")
+    val avg = docs.groupBy(col("lang"))
+      .agg(floor(sum(col("n_chars")).cast("double") / count(lit(1)))
+             .cast("long").as("avg_chars"))
+    docs.join(avg, "lang")
+      .withColumn("tol", greatest(lit(1L), expr("(3 * avg_chars) div 10")))
+      .withColumn("band", expr("n_chars div tol"))
+      .groupBy(col("lang"), col("band"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "band")
+  }
+
+  /** q10: row x column grid cells (J6, TATR notebook cell 45): cells as the
+    * interval intersection of sorted rows and columns. */
+  def q10GridCells(s: SparkSession, dir: String): DataFrame = {
+    val rows = table(s, dir, "lineitem").select(col("l_linenumber").as("rid"))
+      .distinct()
+      .withColumn("ry1", col("rid") * 20)
+      .withColumn("ry2", col("rid") * 20 + 18)
+    val cols = table(s, dir, "part").select(col("p_size").as("cid"))
+      .distinct()
+      .withColumn("cx1", col("cid") * 15)
+      .withColumn("cx2", col("cid") * 15 + 12)
+    rows.crossJoin(cols)
+      .select(col("rid"), col("cid"),
+              col("cx1").as("x1"), col("ry1").as("y1"),
+              col("cx2").as("x2"), col("ry2").as("y2"))
+      .orderBy("rid", "cid")
+  }
+
+  /** q11: IoU best-match join (J4, test_tables.py:279-332): synthetic
+    * integer boxes from two tables, best-IoU GT per prediction via window
+    * argmax; all ratios kept in scaled integer space (iou_e6). */
+  def q11IouBestMatch(s: SparkSession, dir: String): DataFrame = {
+    val preds = table(s, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(
+        col("o_orderkey").as("pred_id"),
+        (col("o_orderkey") % 4).as("page"),
+        (col("o_orderkey") * 13 % 400).as("px1"),
+        (col("o_orderkey") * 29 % 400).as("py1"))
+      .withColumn("px2", col("px1") + 40 + col("pred_id") % 60)
+      .withColumn("py2", col("py1") + 30 + col("pred_id") % 45)
+    val gts = table(s, dir, "customer")
+      .filter(col("c_custkey") % 31 === 0)
+      .select(
+        col("c_custkey").as("gt_id"),
+        (col("c_custkey") % 4).as("page"),
+        (col("c_custkey") * 17 % 400).as("gx1"),
+        (col("c_custkey") * 23 % 400).as("gy1"))
+      .withColumn("gx2", col("gx1") + 45 + col("gt_id") % 55)
+      .withColumn("gy2", col("gy1") + 35 + col("gt_id") % 40)
+    val joined = preds.join(gts, "page")
+      .withColumn("iw", greatest(lit(0L), least(col("px2"), col("gx2")) -
+                                          greatest(col("px1"), col("gx1"))))
+      .withColumn("ih", greatest(lit(0L), least(col("py2"), col("gy2")) -
+                                          greatest(col("py1"), col("gy1"))))
+      .withColumn("inter", col("iw") * col("ih"))
+      .withColumn("parea", (col("px2") - col("px1")) * (col("py2") - col("py1")))
+      .withColumn("garea", (col("gx2") - col("gx1")) * (col("gy2") - col("gy1")))
+      .withColumn("iou_e6",
+        expr("(inter * 1000000) div (parea + garea - inter)"))
+    val w = Window.partitionBy(col("pred_id"))
+      .orderBy(col("iou_e6").desc, col("gt_id").asc)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("pred_id"), col("gt_id"), col("iou_e6"),
+              (col("iou_e6") >= 500000).cast("int").as("matched"))
+      .orderBy("pred_id")
+  }
+}

@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // stable young gen: G1's adaptive resizing oscillates badly when the
+  // 32-thread kernel phases alternate with relational phases
+  "-XX:+UnlockExperimentalVMOptions",
+  "-XX:G1NewSizePercent=30",
+  // page planes are multi-MB int arrays; without this they are G1
+  // "humongous" allocations (>= 50% of the default 4m region) and
+  // progressively fragment the heap under 32-thread kernel load
+  "-XX:G1HeapRegionSize=32m",
+) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").toSeq)

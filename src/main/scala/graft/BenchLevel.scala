@@ -1,0 +1,43 @@
+package graft
+
+import graft.pipeline.{ExtractJob, SnapshotTable}
+import org.apache.spark.sql.SparkSession
+
+/** One scaling-level measurement in an isolated JVM (spawned by Bench,
+  * CPU-pinned via taskset): runs the extraction pipeline `runs` times on
+  * the given corpus at local[cores] and prints one line
+  * `LEVEL <cores> <t1> <t2> ...` (seconds). A dedicated pinned JVM per
+  * level is the honest proxy for an N-core cluster: GC/JIT threads and the
+  * scheduler see exactly N cores, and no heap/JIT state leaks between
+  * levels. */
+object BenchLevel {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val corpusPath = args(1)
+    val runs = args(2).toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-level-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // fixed-shape plan with pre-balanced buckets: AQE's shuffle
+      // materialization barriers only add latency here
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    def once(): Double = {
+      val (df, _) = SnapshotTable.read(spark, corpusPath)
+      val out = ExtractJob.extract(spark, df.as[graft.core.Doc],
+        ExtractJob.Config(buckets = 4 * cores, skewSpanThreshold = 32))
+      val t0 = System.nanoTime()
+      out.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(); once() // warm-up x2 (JIT), discarded
+    val times = (1 to runs).map(_ => once())
+    spark.stop()
+    println(s"LEVEL $cores ${times.mkString(" ")}")
+  }
+}

@@ -9,10 +9,10 @@ final class Bin(val w: Int, val h: Int, val b: Array[Boolean]) {
 
   @inline def apply(x: Int, y: Int): Boolean = b(y * w + x)
 
-  def rotateCCW(deg: Int): Bin = deg match {
+  def rotateCCW(deg: Int, out0: Array[Boolean] = null): Bin = deg match {
     case 0 => this
     case 90 =>
-      val out = new Array[Boolean](b.length)
+      val out = if (out0 != null) out0 else new Array[Boolean](b.length)
       var y = 0
       while (y < h) {
         var x = 0
@@ -21,12 +21,12 @@ final class Bin(val w: Int, val h: Int, val b: Array[Boolean]) {
       }
       new Bin(h, w, out)
     case 180 =>
-      val out = new Array[Boolean](b.length)
+      val out = if (out0 != null) out0 else new Array[Boolean](b.length)
       var i = 0
       while (i < b.length) { out(b.length - 1 - i) = b(i); i += 1 }
       new Bin(w, h, out)
     case 270 =>
-      val out = new Array[Boolean](b.length)
+      val out = if (out0 != null) out0 else new Array[Boolean](b.length)
       var y = 0
       while (y < h) {
         var x = 0
@@ -37,10 +37,10 @@ final class Bin(val w: Int, val h: Int, val b: Array[Boolean]) {
     case d => throw new IllegalArgumentException(s"rotation $d")
   }
 
-  def crop(bb: graft.core.BBox): Bin = {
+  def crop(bb: graft.core.BBox, out0: Array[Boolean] = null): Bin = {
     val nw = bb.w
     val nh = bb.h
-    val out = new Array[Boolean](nw * nh)
+    val out = if (out0 != null) out0 else new Array[Boolean](nw * nh)
     var y = 0
     while (y < nh) {
       System.arraycopy(b, (y + bb.y1) * w + bb.x1, out, y * nw, nw)

@@ -11,14 +11,22 @@ case class Comp(bbox: BBox, area: Int)
   * (table_detection.py:120-126, :205-214) and the basis of line/word
   * segmentation in the recognition kernel (north_star: "connected-component
   * line/word segmentation").
+  *
+  * The label plane is Array[Char] (2 B/px, halves memory traffic vs int —
+  * the kernel is bandwidth-bound at 32 threads) and is written for every
+  * pixel in raster order, so no pre-clear pass is needed. Char labels cap
+  * the plane at 256k pixels (worst case w*h/4 labels); all kernel CC runs
+  * on logical-scale planes well below that.
   */
 object ConnectedComponents {
 
   def label(src: Bin): IndexedSeq[Comp] = {
     val w = src.w; val h = src.h
-    val lab = new Array[Int](w * h) // 0 = background
+    val maxLabels = w * h / 4 + 2
+    require(maxLabels <= 65536, s"plane ${w}x$h too large for char-labeled CC")
+    val lab = PlanePool.chars("cc.label", w * h)
     var next = 1
-    var parent = new Array[Int](1024)
+    val parent = PlanePool.intScratch("cc.parent", maxLabels)
 
     @inline def find(x0: Int): Int = {
       var x = x0
@@ -34,41 +42,46 @@ object ConnectedComponents {
     while (y < h) {
       var x = 0
       while (x < w) {
-        if (src.b(y * w + x)) {
+        val idx = y * w + x
+        if (src.b(idx)) {
           // neighbors already visited in raster order: W, NW, N, NE
           var m = 0
           @inline def consider(l: Int): Unit =
             if (l != 0) { if (m == 0) m = l else union(m, l) }
-          if (x > 0) consider(lab(y * w + x - 1))
+          if (x > 0) consider(lab(idx - 1))
           if (y > 0) {
-            if (x > 0) consider(lab((y - 1) * w + x - 1))
-            consider(lab((y - 1) * w + x))
-            if (x < w - 1) consider(lab((y - 1) * w + x + 1))
+            if (x > 0) consider(lab(idx - w - 1))
+            consider(lab(idx - w))
+            if (x < w - 1) consider(lab(idx - w + 1))
           }
           if (m == 0) {
-            if (next >= parent.length) parent = java.util.Arrays.copyOf(parent, parent.length * 2)
             parent(next) = next
             m = next
             next += 1
           }
-          lab(y * w + x) = m
-        }
+          lab(idx) = m.toChar
+        } else lab(idx) = 0 // fused clear: every position written once
         x += 1
       }
       y += 1
     }
 
     // second pass: resolve roots, accumulate bbox + area per root
-    val minX = new Array[Int](next); java.util.Arrays.fill(minX, Int.MaxValue)
-    val minY = new Array[Int](next); java.util.Arrays.fill(minY, Int.MaxValue)
-    val maxX = new Array[Int](next); java.util.Arrays.fill(maxX, -1)
-    val maxY = new Array[Int](next); java.util.Arrays.fill(maxY, -1)
-    val cnt = new Array[Int](next)
+    val minX = PlanePool.intScratch("cc.minx", next)
+    val minY = PlanePool.intScratch("cc.miny", next)
+    val maxX = PlanePool.intScratch("cc.maxx", next)
+    val maxY = PlanePool.intScratch("cc.maxy", next)
+    val cnt = PlanePool.intScratch("cc.cnt", next)
+    java.util.Arrays.fill(minX, 0, next, Int.MaxValue)
+    java.util.Arrays.fill(minY, 0, next, Int.MaxValue)
+    java.util.Arrays.fill(maxX, 0, next, -1)
+    java.util.Arrays.fill(maxY, 0, next, -1)
+    java.util.Arrays.fill(cnt, 0, next, 0)
     y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val l = lab(y * w + x)
+        val l = lab(y * w + x).toInt
         if (l != 0) {
           val r = find(l)
           if (x < minX(r)) minX(r) = x

@@ -2,19 +2,23 @@ package graft.img
 
 import graft.core.Crop
 
-/** 8-bit grayscale plane; px(y*w + x) ∈ [0,255]. Primitive Array[Int] —
-  * no boxing in the kernel hot path (SURVEY.md §4 "codegen/vectorization").
+/** 8-bit grayscale plane; logical values 0..255 stored as signed bytes
+  * (read via & 0xFF). Byte planes, not ints: the page kernel is
+  * memory-bandwidth-bound, and 8-bit planes are what real scan codecs
+  * produce anyway (SURVEY §2.2 T12 "pure Scala on Array[Byte] planes").
+  * Hot-path methods accept an optional pre-allocated output plane
+  * (PlanePool) so the kernel runs allocation-free per page.
   */
-final class Gray(val w: Int, val h: Int, val px: Array[Int]) {
+final class Gray(val w: Int, val h: Int, val px: Array[Byte]) {
   require(px.length == w * h, s"plane size ${px.length} != ${w}x$h")
 
-  @inline def apply(x: Int, y: Int): Int = px(y * w + x)
+  @inline def apply(x: Int, y: Int): Int = px(y * w + x) & 0xFF
 
   /** Rotate counter-clockwise by deg ∈ {0, 90, 180, 270}. */
-  def rotateCCW(deg: Int): Gray = deg match {
+  def rotateCCW(deg: Int, out0: Array[Byte] = null): Gray = deg match {
     case 0 => this
     case 90 =>
-      val out = new Array[Int](px.length)
+      val out = if (out0 != null) out0 else new Array[Byte](px.length)
       var y = 0
       while (y < h) {
         var x = 0
@@ -23,12 +27,12 @@ final class Gray(val w: Int, val h: Int, val px: Array[Int]) {
       }
       new Gray(h, w, out)
     case 180 =>
-      val out = new Array[Int](px.length)
+      val out = if (out0 != null) out0 else new Array[Byte](px.length)
       var i = 0
       while (i < px.length) { out(px.length - 1 - i) = px(i); i += 1 }
       new Gray(w, h, out)
     case 270 =>
-      val out = new Array[Int](px.length)
+      val out = if (out0 != null) out0 else new Array[Byte](px.length)
       var y = 0
       while (y < h) {
         var x = 0
@@ -44,7 +48,7 @@ final class Gray(val w: Int, val h: Int, val px: Array[Int]) {
     val nw = w - c.left - c.right
     val nh = h - c.top - c.bottom
     require(nw > 0 && nh > 0, s"crop $c exceeds image ${w}x$h")
-    val out = new Array[Int](nw * nh)
+    val out = new Array[Byte](nw * nh)
     var y = 0
     while (y < nh) {
       System.arraycopy(px, (y + c.top) * w + c.left, out, y * nw, nw)
@@ -56,13 +60,12 @@ final class Gray(val w: Int, val h: Int, val px: Array[Int]) {
   /** Integer box-mean downsample by exact factor k — the deterministic
     * replacement for the reference's LANCZOS resize-to-height
     * (classes/pdf_parser.py:44-59; SURVEY §7.5 item 1: bit-exact resize).
-    * Requires w % k == 0 && h % k == 0.
     */
-  def downsample(k: Int): Gray = {
+  def downsample(k: Int, out0: Array[Byte] = null): Gray = {
     require(w % k == 0 && h % k == 0, s"${w}x$h not divisible by $k")
     val nw = w / k
     val nh = h / k
-    val out = new Array[Int](nw * nh)
+    val out = if (out0 != null) out0 else new Array[Byte](nw * nh)
     val area = k * k
     var oy = 0
     while (oy < nh) {
@@ -73,10 +76,10 @@ final class Gray(val w: Int, val h: Int, val px: Array[Int]) {
         while (dy < k) {
           var dx = 0
           val base = (oy * k + dy) * w + ox * k
-          while (dx < k) { s += px(base + dx); dx += 1 }
+          while (dx < k) { s += px(base + dx) & 0xFF; dx += 1 }
           dy += 1
         }
-        out(oy * nw + ox) = s / area
+        out(oy * nw + ox) = (s / area).toByte
         ox += 1
       }
       oy += 1
@@ -84,11 +87,8 @@ final class Gray(val w: Int, val h: Int, val px: Array[Int]) {
     new Gray(nw, nh, out)
   }
 
-  /** Resize to target height by integer factor (height must be an exact
-    * multiple). The reference scales every page to height 1500
-    * (pdf_parser.py:54); our synthetic pages are rendered at 2x and come
-    * back down through here.
-    */
+  /** Resize to target height by integer factor (the reference scales every
+    * page to a fixed height, pdf_parser.py:54). */
   def resizeToHeight(target: Int): Gray = {
     require(h % target == 0, s"height $h not an integer multiple of $target")
     downsample(h / target)
@@ -103,8 +103,11 @@ final class Gray(val w: Int, val h: Int, val px: Array[Int]) {
 
 object Gray {
   def fill(w: Int, h: Int, v: Int): Gray = {
-    val a = new Array[Int](w * h)
-    java.util.Arrays.fill(a, v)
+    val a = new Array[Byte](w * h)
+    java.util.Arrays.fill(a, v.toByte)
     new Gray(w, h, a)
   }
+
+  def fromInts(w: Int, h: Int, vs: Array[Int]): Gray =
+    new Gray(w, h, vs.map(_.toByte))
 }

@@ -14,7 +14,7 @@ object Otsu {
   def threshold(g: Gray): Int = {
     val hist = new Array[Long](256)
     var i = 0
-    while (i < g.px.length) { hist(g.px(i)) += 1; i += 1 }
+    while (i < g.px.length) { hist(g.px(i) & 0xFF) += 1; i += 1 }
     val total = g.px.length.toLong
     var sumAll = 0L
     i = 0
@@ -42,11 +42,11 @@ object Otsu {
   }
 
   /** THRESH_BINARY_INV + THRESH_OTSU: ink = px <= t. */
-  def binarizeInv(g: Gray): Bin = {
+  def binarizeInv(g: Gray, out0: Array[Boolean] = null): Bin = {
     val t = threshold(g)
-    val out = new Array[Boolean](g.px.length)
+    val out = if (out0 != null) out0 else new Array[Boolean](g.px.length)
     var i = 0
-    while (i < g.px.length) { out(i) = g.px(i) <= t; i += 1 }
+    while (i < g.px.length) { out(i) = (g.px(i) & 0xFF) <= t; i += 1 }
     new Bin(g.w, g.h, out)
   }
 }

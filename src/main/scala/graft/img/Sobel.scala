@@ -16,11 +16,11 @@ object Sobel {
 
   private def conv(g: Gray, vertical: Boolean): Gray = {
     val w = g.w; val h = g.h
-    val out = new Array[Int](w * h)
+    val out = new Array[Byte](w * h)
     @inline def p(x: Int, y: Int): Int = {
       val cx = if (x < 0) 0 else if (x >= w) w - 1 else x
       val cy = if (y < 0) 0 else if (y >= h) h - 1 else y
-      g.px(cy * w + cx)
+      g.px(cy * w + cx) & 0xFF
     }
     var y = 0
     while (y < h) {
@@ -35,7 +35,7 @@ object Sobel {
             -p(x - 1, y - 1) - 2 * p(x, y - 1) - p(x + 1, y - 1) +
             p(x - 1, y + 1) + 2 * p(x, y + 1) + p(x + 1, y + 1)
         val a = math.abs(v)
-        out(y * w + x) = if (a > 255) 255 else a
+        out(y * w + x) = (if (a > 255) 255 else a).toByte
         x += 1
       }
       y += 1
@@ -47,7 +47,7 @@ object Sobel {
   def thresholdAbove(g: Gray, t: Int): Bin = {
     val out = new Array[Boolean](g.px.length)
     var i = 0
-    while (i < out.length) { out(i) = g.px(i) >= t; i += 1 }
+    while (i < out.length) { out(i) = (g.px(i) & 0xFF) >= t; i += 1 }
     new Bin(g.w, g.h, out)
   }
 }

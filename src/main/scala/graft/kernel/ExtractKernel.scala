@@ -27,6 +27,11 @@ final class KernelStats {
     val b = math.min(9, math.max(0, (c * 10).toInt))
     confHist(b) += 1
   }
+
+  def addHist(h: Array[Long]): Unit = {
+    var i = 0
+    while (i < 10) { confHist(i) += h(i); i += 1 }
+  }
 }
 
 /** The fused extraction kernel: one document in, its extracted span
@@ -57,7 +62,7 @@ object ExtractKernel {
         s.kind match {
           case "media" =>
             val page = Recognize.recognizeStored(store.decode(s.media_ref), crop)
-            page.confidences.foreach(stats.addConf)
+            stats.addHist(page.confHist)
             out += Span("media", page.text, s.media_ref, s.offset)
             stats.mediaSpanCount += 1
           case "text" =>

@@ -65,34 +65,77 @@ object GlyphFont {
     * segmented component bbox can be compared directly). */
   val templates: Map[Char, Bin] = glyphs.map { case (c, b) => c -> tightCrop(b) }
 
-  /** Reverse index: tight template (dims + bits) → char. Templates are
-    * pairwise distinct (pinned by a unit test). */
-  private val byBits: Map[(Int, Int, Seq[Boolean]), Char] =
-    templates.map { case (c, b) => (b.w, b.h, b.b.toSeq) -> c }
+  /** Pack a tight glyph (<= 56 ink bits) plus dims into one Long — an
+    * allocation-free exact-match key for the hot classification path. */
+  private def packKey(b: Bin): Long = {
+    if (b.w * b.h > 56) return -1L // cannot pack; fallback path handles it
+    var bits = 0L
+    var i = 0
+    while (i < b.b.length) { if (b.b(i)) bits |= (1L << i); i += 1 }
+    (bits << 8) | (b.w.toLong << 4) | b.h.toLong
+  }
+
+  /** Reverse index: packed tight template → char. Templates are pairwise
+    * distinct (pinned by a unit test). */
+  private val byKey: scala.collection.immutable.LongMap[Char] =
+    scala.collection.immutable.LongMap(
+      templates.toSeq.map { case (c, b) => packKey(b) -> c }: _*)
 
   /** Exact classification of a tight-cropped glyph bitmap.
     * Returns (char, confidence=1.0) on exact match; otherwise the best
     * template by matching-pixel ratio with deterministic tie-break. */
   def classify(cell: Bin): (Char, Double) = {
-    byBits.get((cell.w, cell.h, cell.b.toSeq)) match {
-      case Some(c) => (c, 1.0)
-      case None =>
-        var bestC = '?'
-        var bestScore = -1.0
-        for (ch <- alphabet) {
-          val t = templates(ch)
-          val score =
-            if (t.w != cell.w || t.h != cell.h) 0.0
-            else {
-              var eq = 0
-              var i = 0
-              while (i < t.b.length) { if (t.b(i) == cell.b(i)) eq += 1; i += 1 }
-              eq.toDouble / t.b.length
-            }
-          if (score > bestScore) { bestScore = score; bestC = ch }
-        }
-        (bestC, math.max(0.0, bestScore))
+    val k = packKey(cell)
+    val hit = if (k == -1L) 0.toChar else byKey.getOrElse(k, 0.toChar)
+    if (hit != 0.toChar) (hit, 1.0)
+    else {
+      var bestC = '?'
+      var bestScore = -1.0
+      for (ch <- alphabet) {
+        val t = templates(ch)
+        val score =
+          if (t.w != cell.w || t.h != cell.h) 0.0
+          else {
+            var eq = 0
+            var i = 0
+            while (i < t.b.length) { if (t.b(i) == cell.b(i)) eq += 1; i += 1 }
+            eq.toDouble / t.b.length
+          }
+        if (score > bestScore) { bestScore = score; bestC = ch }
+      }
+      (bestC, math.max(0.0, bestScore))
     }
+  }
+
+  /** Allocation-free classification of a tight glyph bbox directly on the
+    * page plane: one packed-long template lookup per glyph, result packed
+    * as (confE6 << 16 | char) so the hot loop allocates nothing. Falls back
+    * to the generic template scorer for unpackable/unmatched cells. */
+  def classifyAtPacked(plane: Bin, bb: graft.core.BBox): Long = {
+    if (bb.w * bb.h <= 56 && bb.w < 16 && bb.h < 16) {
+      var bits = 0L
+      var i = 0
+      var y = bb.y1
+      while (y < bb.y2) {
+        var x = bb.x1
+        while (x < bb.x2) {
+          if (plane(x, y)) bits |= (1L << i)
+          i += 1
+          x += 1
+        }
+        y += 1
+      }
+      val k = (bits << 8) | (bb.w.toLong << 4) | bb.h.toLong
+      val hit = byKey.getOrElse(k, 0.toChar)
+      if (hit != 0.toChar) return (1000000L << 16) | hit.toLong
+    }
+    val (c, conf) = classify(tightCrop(plane.crop(bb)))
+    ((conf * 1000000).toLong << 16) | c.toLong
+  }
+
+  def classifyAt(plane: Bin, bb: graft.core.BBox): (Char, Double) = {
+    val p = classifyAtPacked(plane, bb)
+    ((p & 0xFFFF).toChar, (p >>> 16).toDouble / 1e6)
   }
 
   def tightCrop(b: Bin): Bin = {

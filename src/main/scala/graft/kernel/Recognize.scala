@@ -24,19 +24,31 @@ object Recognize {
     * (line leading is 5 logical px). */
   val LineGap = 4
 
-  final case class PageResult(lines: Vector[TextLine], confidences: Vector[Double]) {
+  /** confHist: fixed 10-bucket glyph-confidence histogram
+    * ([0.0,0.1) .. [0.9,1.0]) — accumulated inline, never a boxed
+    * per-glyph collection (the kernel is allocation-sensitive at 32
+    * threads). */
+  final case class PageResult(lines: Vector[TextLine], confHist: Array[Long]) {
     def text: String = lines.map(_.text).mkString("\n")
+    def glyphCount: Long = confHist.sum
   }
 
   /** Full media-span path: stored (possibly rotated) 2x grayscale in,
     * recognized text out. */
   def recognizeStored(stored: Gray, crop: Crop): PageResult = {
-    val logical = stored.downsample(PageScale) // resize-to-height analog (T1)
-    val bin = Otsu.binarizeInv(logical)        // T11 contract
-    val angle = detectOrientation(bin)          // T4 (classical OSD)
-    val upright = rotate(bin, angle)            // T5 — 180 left as-is (quirk)
-    val body = upright.crop(BBox(crop.left, crop.top,
-                                 upright.w - crop.right, upright.h - crop.bottom))
+    import graft.img.PlanePool
+    val n = stored.px.length / (PageScale * PageScale)
+    val logical = stored.downsample(PageScale,
+      PlanePool.bytes("k.ds", n)) // resize-to-height analog (T1)
+    val bin = Otsu.binarizeInv(logical, PlanePool.bools("k.bin", n)) // T11
+    val angle = detectOrientation(bin)           // T4 (classical OSD)
+    val upright = rotate(bin, angle, PlanePool.bools("k.upright", n)) // T5
+    val body = upright.crop(
+      BBox(crop.left, crop.top,
+           upright.w - crop.right, upright.h - crop.bottom),
+      PlanePool.bools("k.body",
+        (upright.w - crop.left - crop.right) *
+        (upright.h - crop.top - crop.bottom)))
     segmentAndClassify(body)
   }
 
@@ -46,8 +58,8 @@ object Recognize {
   /** Rotate by 0/90/270 only; a 180 request warns and returns the input
     * unrotated — the reference's intentional quirk (pdf_parser.py:413-435,
     * observed live on F2024007: "Wrong rotation asked for 180"). */
-  def rotate(b: Bin, deg: Int): Bin = deg match {
-    case 0 | 90 | 270 => b.rotateCCW(deg)
+  def rotate(b: Bin, deg: Int, out: Array[Boolean] = null): Bin = deg match {
+    case 0 | 90 | 270 => b.rotateCCW(deg, out)
     case 180 =>
       System.err.println(s" Wrong rotation asked for 180")
       b
@@ -59,27 +71,53 @@ object Recognize {
     * pages are portrait), then the candidate whose first text lines yield
     * the most exact glyph-template hits wins. May return 180, which
     * rotate() deliberately ignores. */
+  /** Exact-hit RATIO at or above which the first candidate orientation is
+    * accepted without scoring the alternative. A ratio, not a count:
+    * upside-down dense text still exact-matches its 180-symmetric glyphs
+    * (H I N O S X Z 0 8), but only a minority fraction; a correctly
+    * oriented page matches ~all glyphs. */
+  val OrientEarlyAcceptRatio = 0.85
+  val OrientMinGlyphs = 10
+  /** Rows of the candidate-oriented page scored for orientation. */
+  val OrientStrip = 120
+
   def detectOrientation(bin: Bin): Int = {
     val candidates = if (bin.w < bin.h) Seq(0, 180) else Seq(90, 270)
     var best = candidates.head
-    var bestScore = -1
-    for (c <- candidates) {
-      val score = glyphHitScore(bin.rotateCCW(c))
+    var bestScore = -1.0
+    var i = 0
+    var earlyAccepted = false
+    while (i < candidates.length && !earlyAccepted) {
+      val c = candidates(i)
+      val cand =
+        if (c == 0) bin
+        else bin.rotateCCW(c,
+          graft.img.PlanePool.bools("k.orient", bin.b.length))
+      val (hits, total) = glyphHitScore(cand)
+      val score = if (total == 0) 0.0 else hits.toDouble / total
       if (score > bestScore) { bestScore = score; best = c }
+      if (total >= OrientMinGlyphs && score >= OrientEarlyAcceptRatio)
+        earlyAccepted = true
+      i += 1
     }
     best
   }
 
-  /** Count exact template matches over the first two segmented lines. */
-  private def glyphHitScore(b: Bin): Int = {
-    val comps = filteredComps(b)
+  /** (exact template hits, glyphs seen) over the first two segmented lines
+    * of the top strip (cheap: never labels the full page). */
+  private def glyphHitScore(b: Bin): (Int, Int) = {
+    val stripH = math.min(b.h, OrientStrip)
+    val strip = b.crop(BBox(0, 0, b.w, stripH),
+      graft.img.PlanePool.bools("k.orientstrip", b.w * stripH))
+    val comps = filteredComps(strip)
     val lines = Clustering.cluster(comps, LineGap)(_.bbox.y1).take(2)
     var hits = 0
+    var total = 0
     for (line <- lines; comp <- line.sortBy(_.bbox.x1)) {
-      val cell = GlyphFont.tightCrop(b.crop(comp.bbox))
-      if (GlyphFont.classify(cell)._2 == 1.0) hits += 1
+      total += 1
+      if (GlyphFont.classifyAt(strip, comp.bbox)._2 == 1.0) hits += 1
     }
-    hits
+    (hits, total)
   }
 
   private def filteredComps(b: Bin): IndexedSeq[Comp] =
@@ -91,30 +129,31 @@ object Recognize {
     val comps = filteredComps(body)
     val lineClusters = Clustering.cluster(comps, LineGap)(_.bbox.y1)
     val lines = new ArrayBuffer[TextLine]
-    val confs = Vector.newBuilder[Double]
+    val hist = new Array[Long](10)
     for (cluster <- lineClusters) {
       val glyphs = groupGlyphs(cluster.sortBy(c => (c.bbox.x1, c.bbox.y1)))
       val sb = new StringBuilder
-      var lineConfSum = 0.0
+      var lineConfSumE6 = 0L
       var n = 0
       var prev: BBox = null
       var lineBox: BBox = null
       for (gb <- glyphs) {
         if (prev != null && gb.x1 - prev.x2 >= WordGapMin) sb.append(' ')
-        val (ch, conf) = GlyphFont.classify(GlyphFont.tightCrop(body.crop(gb)))
-        sb.append(ch)
-        confs += conf
-        lineConfSum += conf
+        val packed = GlyphFont.classifyAtPacked(body, gb)
+        sb.append((packed & 0xFFFF).toChar)
+        val confE6 = packed >>> 16
+        hist(math.min(9L, confE6 / 100000L).toInt) += 1
+        lineConfSumE6 += confE6
         n += 1
         prev = gb
         lineBox = if (lineBox == null) gb else lineBox.union(gb)
       }
       if (n > 0)
-        lines += TextLine(lineBox, sb.toString, lineConfSum / n)
+        lines += TextLine(lineBox, sb.toString, lineConfSumE6.toDouble / n / 1e6)
     }
     // reading-order sort (O1, image_builder.py:239-243): by (y, x)
     val sorted = lines.sortBy(l => (l.bbox.y1, l.bbox.x1)).toVector
-    PageResult(sorted, confs.result())
+    PageResult(sorted, hist)
   }
 
   /** Merge x-overlapping/touching components into glyph cells; every gap of

@@ -85,7 +85,7 @@ object ExtractJob {
             case "media" =>
               val page = graft.kernel.Recognize.recognizeStored(
                 store.decode(s.media_ref), crop)
-              page.confidences.foreach(st.addConf)
+              st.addHist(page.confHist)
               SpanOut(s.doc_id, "media", page.text, s.media_ref, s.offset,
                       1L, 0L, st.confHist.toSeq)
             case "text" =>

@@ -27,11 +27,12 @@ object CorpusGen {
     f"F$year%04d$num%03d"
   }
 
-  /** (input doc, golden extracted doc). */
-  def genDoc(i: Int): (Doc, Doc) = {
+  /** (input doc, golden extracted doc). Heavy docs model multi-hundred-page
+    * skew (the reason for the exploded span path, SURVEY §4). */
+  def genDoc(i: Int, heavy: Boolean = false): (Doc, Doc) = {
     val docId = docIdFor(i)
     val rng = new Rng(Rng.fnv64(docId) ^ 0xC0FFEE42L)
-    val nContent = rng.between(3, 11)
+    val nContent = if (heavy) rng.between(40, 80) else rng.between(3, 11)
     val in = Vector.newBuilder[Span]
     val gold = Vector.newBuilder[Span]
     // span 0: cover page — dropped by extraction (pdf_parser.py:126)
@@ -56,9 +57,11 @@ object CorpusGen {
     (Doc(docId, in.result()), Doc(docId, gold.result()))
   }
 
-  /** Whole corpus: (inputs, goldens), both in doc-index order. */
-  def corpus(nDocs: Int): (Vector[Doc], Vector[Doc]) = {
-    val pairs = Vector.tabulate(nDocs)(genDoc)
+  /** Whole corpus: (inputs, goldens), both in doc-index order.
+    * heavyEvery > 0 makes every k-th doc a heavy (skewed) one. */
+  def corpus(nDocs: Int, heavyEvery: Int = 0): (Vector[Doc], Vector[Doc]) = {
+    val pairs = Vector.tabulate(nDocs)(i =>
+      genDoc(i, heavy = heavyEvery > 0 && i % heavyEvery == heavyEvery - 1))
     (pairs.map(_._1), pairs.map(_._2))
   }
 

@@ -56,7 +56,9 @@ object PageRenderer {
   def bodyLines(docId: String, page: Int): Vector[String] = {
     val crop = CropConfig.lookup(docId)
     val rng = new Rng(pageSeed(docId, page))
-    val nLines = rng.between(6, 16)
+    // dense text like a real gazette page (body capacity is ~33 lines at
+    // the tightest crop config)
+    val nLines = rng.between(22, 32)
     val maxW = LogicalW - crop.left - crop.right - 2 * BodyXPad
     Vector.tabulate(nLines) { _ =>
       val sb = new StringBuilder
@@ -116,10 +118,14 @@ object PageRenderer {
     }
   }
 
-  /** Render the stored (possibly rotated) 2x noisy grayscale page. */
+  /** Render the stored (possibly rotated) 2x noisy grayscale page.
+    * Uses pooled per-thread planes: the result is valid until the next
+    * render() on the same thread (real decoders reuse frame buffers the
+    * same way). */
   def render(docId: String, page: Int): Gray = {
     val crop: Crop = CropConfig.lookup(docId)
-    val mask = new Array[Boolean](LogicalW * LogicalH)
+    val mask = graft.img.PlanePool.bools("render.mask", LogicalW * LogicalH)
+    java.util.Arrays.fill(mask, false)
     // header & footer live strictly inside the crop bands (removed before
     // recognition, like the reference's margin crop joradp_parse.py:143-149)
     drawLine(mask, s"$docId PAGE ${page.toString}", crop.left + BodyXPad, HeaderY)
@@ -146,23 +152,31 @@ object PageRenderer {
       mask(sy * LogicalW + sx) = true
       s += 1
     }
-    // upscale 2x with seeded noise: ink in [18,42], background in [215,247]
+    // upscale 2x with seeded noise: ink in [18,49], background in [215,246]
+    // (one PRNG draw yields 8 noise bytes — the render loop is the hot path)
     val noise = new Rng(pageSeed(docId, page) ^ 0x0F0F0F0FL)
     val w2 = LogicalW * Scale
     val h2 = LogicalH * Scale
-    val px = new Array[Int](w2 * h2)
+    val px = graft.img.PlanePool.bytes("render.px", w2 * h2)
+    var nbits = 0L
+    var nleft = 0
     var yy = 0
     while (yy < h2) {
       var xx = 0
+      val rowBase = (yy / Scale) * LogicalW
       while (xx < w2) {
-        val ink = mask((yy / Scale) * LogicalW + (xx / Scale))
-        px(yy * w2 + xx) =
-          if (ink) 18 + noise.nextInt(25) else 215 + noise.nextInt(33)
+        if (nleft == 0) { nbits = noise.nextLong(); nleft = 8 }
+        val n = (nbits & 0x1FL).toInt // [0, 32)
+        nbits >>>= 8
+        nleft -= 1
+        val ink = mask(rowBase + (xx / Scale))
+        px(yy * w2 + xx) = (if (ink) 18 + n else 215 + n).toByte
         xx += 1
       }
       yy += 1
     }
-    new Gray(w2, h2, px).rotateCCW(storedRotation(docId, page))
+    new Gray(w2, h2, px).rotateCCW(storedRotation(docId, page),
+      graft.img.PlanePool.bytes("render.rot", w2 * h2))
   }
 
   /** media_ref scheme for the synthetic store. */

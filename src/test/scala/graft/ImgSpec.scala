@@ -7,19 +7,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class ImgSpec extends AnyFunSuite {
 
   test("rotate roundtrips and 180 composition") {
-    val g = new Gray(3, 2, Array(1, 2, 3, 4, 5, 6))
+    val g = Gray.fromInts(3, 2, Array(1, 2, 3, 4, 5, 6))
     assert(g.rotateCCW(90).rotateCCW(270) == g)
     assert(g.rotateCCW(270).rotateCCW(90) == g)
     assert(g.rotateCCW(90).rotateCCW(90) == g.rotateCCW(180))
     // CCW 90 of [[1,2,3],[4,5,6]] → [[3,6],[2,5],[1,4]]
-    assert(g.rotateCCW(90).px.toSeq == Seq(3, 6, 2, 5, 1, 4))
+    assert(g.rotateCCW(90).px.toSeq == Seq(3, 6, 2, 5, 1, 4).map(_.toByte))
   }
 
   test("crop removes exact margins") {
-    val g = new Gray(4, 4, Array.tabulate(16)(identity))
+    val g = Gray.fromInts(4, 4, Array.tabulate(16)(identity))
     val c = g.crop(Crop(top = 1, left = 1, right = 1, bottom = 1))
     assert(c.w == 2 && c.h == 2)
-    assert(c.px.toSeq == Seq(5, 6, 9, 10))
+    assert(c.px.toSeq == Seq(5, 6, 9, 10).map(_.toByte))
   }
 
   test("crop bounds are validated (pdf_parser.py:403-404)") {
@@ -28,15 +28,15 @@ class ImgSpec extends AnyFunSuite {
   }
 
   test("downsample(2) is exact integer box mean") {
-    val g = new Gray(2, 2, Array(10, 20, 30, 40))
-    assert(g.downsample(2).px.toSeq == Seq(25))
+    val g = Gray.fromInts(2, 2, Array(10, 20, 30, 40))
+    assert(g.downsample(2).px.toSeq == Seq(25.toByte))
   }
 
   test("Otsu splits a bimodal histogram between the modes") {
     val px = Array.fill(50)(30) ++ Array.fill(50)(220)
-    val t = Otsu.threshold(new Gray(10, 10, px))
+    val t = Otsu.threshold(Gray.fromInts(10, 10, px))
     assert(t >= 30 && t < 220)
-    val b = Otsu.binarizeInv(new Gray(10, 10, px))
+    val b = Otsu.binarizeInv(Gray.fromInts(10, 10, px))
     assert(b.inkCount == 50)
   }
 
@@ -81,9 +81,9 @@ class ImgSpec extends AnyFunSuite {
 
   test("Sobel responds to vertical edges in x-gradient") {
     val px = Array.tabulate(6 * 3)((i) => if (i % 6 < 3) 0 else 255)
-    val gx = Sobel.absX(new Gray(6, 3, px))
-    assert(gx.px(1 * 6 + 2) > 200) // edge between col2 and col3
-    assert(gx.px(1 * 6 + 0) == 0)  // flat region
+    val gx = Sobel.absX(Gray.fromInts(6, 3, px))
+    assert((gx.px(1 * 6 + 2) & 0xFF) > 200) // edge between col2 and col3
+    assert((gx.px(1 * 6 + 0) & 0xFF) == 0)  // flat region
     val ink = Sobel.thresholdAbove(gx, 200)
     assert(ink(2, 1) || ink(3, 1))
   }

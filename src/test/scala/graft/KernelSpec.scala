@@ -55,7 +55,7 @@ class KernelSpec extends AnyFunSuite {
     assume(PageRenderer.storedRotation(docId, page) == 0)
     val got = Recognize.recognizeStored(PageRenderer.render(docId, page), crop)
     assert(got.text == PageRenderer.bodyText(docId, page))
-    assert(got.confidences.nonEmpty && got.confidences.forall(_ == 1.0))
+    assert(got.glyphCount > 0 && got.confHist(9) == got.glyphCount)
   }
 
   test("renderer → recognizer roundtrip: rotated pages are deskewed") {

@@ -120,8 +120,16 @@ object Recognize {
     (hits, total)
   }
 
+  /** Components larger than any glyph cell are graphics (table rules,
+    * separators) — excluded from the TEXT path, exactly as the reference
+    * routes Table regions away from text OCR via layout labels. */
+  val MaxGlyphW: Int = GlyphFont.GlyphW + 3
+  val MaxGlyphH: Int = GlyphFont.GlyphH + 2
+
   private def filteredComps(b: Bin): IndexedSeq[Comp] =
-    ConnectedComponents.label(b).filter(_.area >= MinCompArea)
+    ConnectedComponents.label(b).filter(c =>
+      c.area >= MinCompArea &&
+      c.bbox.w <= MaxGlyphW && c.bbox.h <= MaxGlyphH)
 
   /** CC line/word segmentation + glyph classification over a cropped,
     * upright binary body. */

@@ -52,13 +52,54 @@ object PageRenderer {
   /** Pixel width of a rendered word (5 px per glyph + 1 px letter gap). */
   private def wordPx(wrd: String): Int = wrd.length * 6 - 1
 
+  /** A ruled table planted on a page, in logical page coordinates; the
+    * ground truth for the classical table detector (FIXTURES.md §3
+    * `with_table`). Detection runs at the 2x stored scale, where the
+    * reference's pixel constants are calibrated — hence the 2x GT
+    * accessors. */
+  final case class TableSpec(x: Int, y: Int, rows: Int, cols: Int,
+                             cw: Int, ch: Int) {
+    def w: Int = cols * cw + 2
+    def h: Int = rows * ch + 2
+    def bbox2x: graft.core.BBox =
+      graft.core.BBox(2 * x, 2 * y, 2 * (x + w), 2 * (y + h))
+    def cells2x: Vector[graft.core.BBox] =
+      (for {
+        i <- 0 until rows
+        j <- 0 until cols
+      } yield graft.core.BBox(
+        2 * (x + j * cw), 2 * (y + i * ch),
+        2 * (x + (j + 1) * cw + 2), 2 * (y + (i + 1) * ch + 2))).toVector
+  }
+
+  /** (number of text lines, optional table) for a page — the shared layout
+    * decision bodyLines and render agree on. ~15% of pages carry a table;
+    * table pages have fewer text lines above the table. */
+  def layoutFor(docId: String, page: Int): (Int, Option[TableSpec]) = {
+    val crop = CropConfig.lookup(docId)
+    val rng = new Rng(pageSeed(docId, page) ^ 0x7AB1E5L)
+    if (rng.nextInt(100) >= 15) (rng.between(22, 32), None)
+    else {
+      val nText = rng.between(6, 10)
+      val rows = rng.between(3, 5)
+      val cols = rng.between(3, 4)
+      val innerW = LogicalW - crop.left - crop.right - 2 * BodyXPad
+      val cw = rng.between(47, math.min(72, (innerW - 8) / cols))
+      val ch = rng.between(34, 40)
+      val x = crop.left + BodyXPad
+      val y = crop.top + BodyYPad + nText * GlyphFont.LinePitch + 8
+      (nText, Some(TableSpec(x, y, rows, cols, cw, ch)))
+    }
+  }
+
   /** The body lines of a page — this is the golden text for a media span. */
   def bodyLines(docId: String, page: Int): Vector[String] = {
     val crop = CropConfig.lookup(docId)
     val rng = new Rng(pageSeed(docId, page))
     // dense text like a real gazette page (body capacity is ~33 lines at
-    // the tightest crop config)
-    val nLines = rng.between(22, 32)
+    // the tightest crop config); table pages keep a short text block above
+    // the table
+    val nLines = layoutFor(docId, page)._1
     val maxW = LogicalW - crop.left - crop.right - 2 * BodyXPad
     Vector.tabulate(nLines) { _ =>
       val sb = new StringBuilder
@@ -137,6 +178,32 @@ object PageRenderer {
     for (ln <- lines) {
       drawLine(mask, ln, x0, y)
       y += GlyphFont.LinePitch
+    }
+    // ruled table fixture (2 px rule lines; text recognition filters these
+    // out by glyph-size gating, table detection picks them up at 2x)
+    for (t <- layoutFor(docId, page)._2) {
+      var i = 0
+      while (i <= t.rows) { // horizontal rules
+        val ry = t.y + i * t.ch
+        var xx = t.x
+        while (xx < t.x + t.w) {
+          mask(ry * LogicalW + xx) = true
+          mask((ry + 1) * LogicalW + xx) = true
+          xx += 1
+        }
+        i += 1
+      }
+      var j = 0
+      while (j <= t.cols) { // vertical rules
+        val rx = t.x + j * t.cw
+        var yy = t.y
+        while (yy < t.y + t.h) {
+          mask(yy * LogicalW + rx) = true
+          mask(yy * LogicalW + rx + 1) = true
+          yy += 1
+        }
+        j += 1
+      }
     }
     // margin specks in leading rows: become 1-px components the kernel's
     // noise filter must drop (F9, table_detection.py:205-214 analog)

@@ -20,6 +20,11 @@ object Recognize {
   /** Blank-column gap at or above which two glyph groups are separate words
     * (renderer word gap is 4 logical px; worst intra-word tight gap is 3). */
   val WordGapMin = 4
+  /** Gap at or above which a y-cluster splits into separate text lines —
+    * the column gutter (>= 12 px after glyph padding) vs the widest word
+    * gap (<= 6 px). Gives per-column line boxes like the reference's
+    * recognizer emits. */
+  val LineSplitGap = 10
   /** Row gap above which components belong to different text lines
     * (line leading is 5 logical px). */
   val LineGap = 4
@@ -27,9 +32,10 @@ object Recognize {
   /** confHist: fixed 10-bucket glyph-confidence histogram
     * ([0.0,0.1) .. [0.9,1.0]) — accumulated inline, never a boxed
     * per-glyph collection (the kernel is allocation-sensitive at 32
-    * threads). */
-  final case class PageResult(lines: Vector[TextLine], confHist: Array[Long]) {
-    def text: String = lines.map(_.text).mkString("\n")
+    * threads). `text` is the layout-ordered page text (columns in reading
+    * order via LayoutSegment + MatchMaking). */
+  final case class PageResult(lines: Vector[TextLine], confHist: Array[Long],
+                              text: String) {
     def glyphCount: Long = confHist.sum
   }
 
@@ -49,7 +55,15 @@ object Recognize {
       PlanePool.bools("k.body",
         (upright.w - crop.left - crop.right) *
         (upright.h - crop.top - crop.bottom)))
-    segmentAndClassify(body)
+    val pr = segmentAndClassify(body)
+    // T7 layout segmentation + J2/J3 matching: columns in reading order,
+    // lines (y,x)-sorted within each block, unmatched "rest" appended
+    // (pdf_parser.py:147-154 per-page flow)
+    val layouts = LayoutSegment.segment(pr.lines, body.w, body.h)
+    val mm = MatchMaking.matchTextsToLayouts(layouts, pr.lines, margin = 10)
+    val ordered =
+      mm.matched.sortBy(_.position).flatMap(_.texts) ++ mm.rest
+    pr.copy(text = ordered.map(_.text).mkString("\n"))
   }
 
   /** Render scale of the synthetic corpus (pages arrive at 2x). */
@@ -140,13 +154,22 @@ object Recognize {
     val hist = new Array[Long](10)
     for (cluster <- lineClusters) {
       val glyphs = groupGlyphs(cluster.sortBy(c => (c.bbox.x1, c.bbox.y1)))
-      val sb = new StringBuilder
+      var sb = new StringBuilder
       var lineConfSumE6 = 0L
       var n = 0
       var prev: BBox = null
       var lineBox: BBox = null
+      def flush(): Unit = {
+        if (n > 0)
+          lines += TextLine(lineBox, sb.toString, lineConfSumE6.toDouble / n / 1e6)
+        sb = new StringBuilder
+        lineConfSumE6 = 0L
+        n = 0
+        lineBox = null
+      }
       for (gb <- glyphs) {
-        if (prev != null && gb.x1 - prev.x2 >= WordGapMin) sb.append(' ')
+        if (prev != null && gb.x1 - prev.x2 >= LineSplitGap) flush()
+        else if (prev != null && gb.x1 - prev.x2 >= WordGapMin) sb.append(' ')
         val packed = GlyphFont.classifyAtPacked(body, gb)
         sb.append((packed & 0xFFFF).toChar)
         val confE6 = packed >>> 16
@@ -156,12 +179,11 @@ object Recognize {
         prev = gb
         lineBox = if (lineBox == null) gb else lineBox.union(gb)
       }
-      if (n > 0)
-        lines += TextLine(lineBox, sb.toString, lineConfSumE6.toDouble / n / 1e6)
+      flush()
     }
     // reading-order sort (O1, image_builder.py:239-243): by (y, x)
     val sorted = lines.sortBy(l => (l.bbox.y1, l.bbox.x1)).toVector
-    PageResult(sorted, hist)
+    PageResult(sorted, hist, sorted.map(_.text).mkString("\n"))
   }
 
   /** Merge x-overlapping/touching components into glyph cells; every gap of

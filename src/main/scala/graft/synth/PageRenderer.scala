@@ -72,14 +72,21 @@ object PageRenderer {
         2 * (x + (j + 1) * cw + 2), 2 * (y + (i + 1) * ch + 2))).toVector
   }
 
-  /** (number of text lines, optional table) for a page — the shared layout
-    * decision bodyLines and render agree on. ~15% of pages carry a table;
-    * table pages have fewer text lines above the table. */
-  def layoutFor(docId: String, page: Int): (Int, Option[TableSpec]) = {
+  val GutterW = 14
+
+  /** Page layout modes (FIXTURES.md §3 fixture classes):
+    * single column (~65%), two columns with central gutter (~20%,
+    * `Deux Colonnes`), ruled table below a short text block (~15%,
+    * `with_table`). For two columns, col1/col2 line counts; golden text
+    * order is column 1 top-to-bottom then column 2. */
+  final case class PageLayout(textLines: Int, table: Option[TableSpec],
+                              twoCol: Option[(Int, Int)])
+
+  def layoutFor(docId: String, page: Int): PageLayout = {
     val crop = CropConfig.lookup(docId)
     val rng = new Rng(pageSeed(docId, page) ^ 0x7AB1E5L)
-    if (rng.nextInt(100) >= 15) (rng.between(22, 32), None)
-    else {
+    val roll = rng.nextInt(100)
+    if (roll < 15) {
       val nText = rng.between(6, 10)
       val rows = rng.between(3, 5)
       val cols = rng.between(3, 4)
@@ -88,33 +95,42 @@ object PageRenderer {
       val ch = rng.between(34, 40)
       val x = crop.left + BodyXPad
       val y = crop.top + BodyYPad + nText * GlyphFont.LinePitch + 8
-      (nText, Some(TableSpec(x, y, rows, cols, cw, ch)))
-    }
+      PageLayout(nText, Some(TableSpec(x, y, rows, cols, cw, ch)), None)
+    } else if (roll < 35) {
+      PageLayout(0, None, Some((rng.between(22, 32), rng.between(22, 32))))
+    } else PageLayout(rng.between(22, 32), None, None)
   }
 
-  /** The body lines of a page — this is the golden text for a media span. */
+  private def genLine(rng: Rng, maxW: Int): String = {
+    val sb = new StringBuilder
+    var px = 0
+    var continue = true
+    while (continue) {
+      val wrd = word(rng)
+      val need = (if (px == 0) 0 else GlyphFont.WordGap) + wordPx(wrd)
+      if (px + need <= maxW) {
+        if (px > 0) sb.append(' ')
+        sb.append(wrd)
+        px += need
+      } else continue = false
+    }
+    sb.toString
+  }
+
+  /** The body lines of a page — this is the golden text for a media span.
+    * Two-column pages return column 1's lines then column 2's (reading
+    * order). */
   def bodyLines(docId: String, page: Int): Vector[String] = {
     val crop = CropConfig.lookup(docId)
     val rng = new Rng(pageSeed(docId, page))
-    // dense text like a real gazette page (body capacity is ~33 lines at
-    // the tightest crop config); table pages keep a short text block above
-    // the table
-    val nLines = layoutFor(docId, page)._1
-    val maxW = LogicalW - crop.left - crop.right - 2 * BodyXPad
-    Vector.tabulate(nLines) { _ =>
-      val sb = new StringBuilder
-      var px = 0
-      var continue = true
-      while (continue) {
-        val wrd = word(rng)
-        val need = (if (px == 0) 0 else GlyphFont.WordGap) + wordPx(wrd)
-        if (px + need <= maxW) {
-          if (px > 0) sb.append(' ')
-          sb.append(wrd)
-          px += need
-        } else continue = false
-      }
-      sb.toString
+    val layout = layoutFor(docId, page)
+    val innerW = LogicalW - crop.left - crop.right - 2 * BodyXPad
+    layout.twoCol match {
+      case Some((n1, n2)) =>
+        val colW = (innerW - GutterW) / 2
+        Vector.fill(n1 + n2)(genLine(rng, colW))
+      case None =>
+        Vector.fill(layout.textLines)(genLine(rng, innerW))
     }
   }
 
@@ -173,15 +189,28 @@ object PageRenderer {
     drawLine(mask, s"PAGE ${page.toString}", crop.left + BodyXPad,
              LogicalH - FooterYFromBottom)
     val lines = bodyLines(docId, page)
+    val layout = layoutFor(docId, page)
     val x0 = crop.left + BodyXPad
-    var y = crop.top + BodyYPad
-    for (ln <- lines) {
-      drawLine(mask, ln, x0, y)
-      y += GlyphFont.LinePitch
+    layout.twoCol match {
+      case Some((n1, _)) =>
+        val innerW = LogicalW - crop.left - crop.right - 2 * BodyXPad
+        val colW = (innerW - GutterW) / 2
+        for ((ln, i) <- lines.zipWithIndex) {
+          val col = if (i < n1) 0 else 1
+          val yy = crop.top + BodyYPad +
+                   (if (col == 0) i else i - n1) * GlyphFont.LinePitch
+          drawLine(mask, ln, x0 + col * (colW + GutterW), yy)
+        }
+      case None =>
+        var y = crop.top + BodyYPad
+        for (ln <- lines) {
+          drawLine(mask, ln, x0, y)
+          y += GlyphFont.LinePitch
+        }
     }
     // ruled table fixture (2 px rule lines; text recognition filters these
     // out by glyph-size gating, table detection picks them up at 2x)
-    for (t <- layoutFor(docId, page)._2) {
+    for (t <- layout.table) {
       var i = 0
       while (i <= t.rows) { // horizontal rules
         val ry = t.y + i * t.ch
@@ -209,9 +238,13 @@ object PageRenderer {
     // noise filter must drop (F9, table_detection.py:205-214 analog)
     val speckRng = new Rng(pageSeed(docId, page) ^ 0xBADC0DEL)
     val nSpecks = speckRng.between(4, 12)
+    val speckRows = layout.twoCol match {
+      case Some((n1, n2)) => math.min(n1, n2)
+      case None => lines.length
+    }
     var s = 0
     while (s < nSpecks) {
-      val li = speckRng.nextInt(lines.length)
+      val li = speckRng.nextInt(speckRows)
       val sy = crop.top + BodyYPad + li * GlyphFont.LinePitch +
                GlyphFont.GlyphH + 1 + speckRng.nextInt(GlyphFont.Leading - 3)
       val sx = crop.left + BodyXPad + speckRng.nextInt(

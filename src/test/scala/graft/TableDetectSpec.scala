@@ -97,7 +97,7 @@ class TableDetectSpec extends AnyFunSuite {
   private def tablePage: (String, Int, PageRenderer.TableSpec) = {
     val docId = "F1985003"
     (1 to 200).iterator.flatMap { p =>
-      PageRenderer.layoutFor(docId, p)._2
+      PageRenderer.layoutFor(docId, p).table
         .filter(_ => PageRenderer.storedRotation(docId, p) == 0)
         .map(t => (docId, p, t))
     }.next()

@@ -143,6 +143,7 @@ object CorpusOps {
                  .withColumnRenamed("text", "text_a"), "doc_a")
       .join(texts.withColumnRenamed("doc_id", "doc_b")
                  .withColumnRenamed("text", "text_b"), "doc_b")
+      .select("doc_a", "doc_b", "text_a", "text_b") // joins reorder columns
       .as[(Long, Long, String, String)]
       .map { case (a, b, ta, tb) =>
         val sa = TextHashes.shingleHashes(ta, 3).toSet
@@ -200,19 +201,27 @@ object CorpusOps {
   }
 
   /** e2: LSH-bucketed approximate NN — sign-random-projection buckets
-    * (native Expression), candidates share a bucket, exact re-rank inside.
-    * The scale path: bucket join instead of all-pairs. Rows-only. */
+    * (native Expression), two hash tables for recall, candidates share a
+    * (table, bucket), exact re-rank inside. The scale path: bucket join
+    * instead of all-pairs. Rows-only; recall gate in OperatorSpec. */
   def e2AnnLsh(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = quantized(s, dir)
       .join(table(s, dir, "embeddings").select(col("vec_id"), col("embedding")), "vec_id")
-      .withColumn("bucket", expr("lsh_bucket(embedding, 6, 42)"))
+      .select(col("vec_id"), col("qv"),
+        explode(array(
+          struct(lit(0).as("tbl"), expr("lsh_bucket(embedding, 6, 42)").as("bucket")),
+          struct(lit(1).as("tbl"), expr("lsh_bucket(embedding, 6, 1337)").as("bucket"))
+        )).as("tb"))
+      .select(col("vec_id"), col("qv"), col("tb.tbl"), col("tb.bucket"))
     val q = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("bucket"))
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+              col("tbl"), col("bucket"))
     val n = emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
-                       col("bucket"))
-    val scored = q.join(n, Seq("bucket"))
+                       col("tbl"), col("bucket"))
+    val scored = q.join(n, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("dot", aggregate(
         zip_with(col("qa"), col("qb"), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))

@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.CorpusOps
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** ScalaTest oracles for the non-SQL-expressible corpus operators (the
+  * DuckDB gate covers the rest): planted near-duplicates for the dedup
+  * family, planted clusters for the ANN family. */
+class OperatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-ops").toString
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    val rng = new graft.synth.Rng(7L)
+    def text(n: Int): String =
+      Vector.fill(n)(words(rng.nextInt(words.size))).mkString(" ")
+    // docs 0..29 random; (100,101) exact dup; (102,103) near dup (one word
+    // changed in 40); (104,105) unrelated marker pair
+    val base = (0L until 30L).map(i => (i, text(40)))
+    val t = text(40)
+    val tNear = {
+      val ws = t.split(" ").toVector
+      ws.updated(20, "REPLACED").mkString(" ")
+    }
+    val docs = base ++ Seq(
+      (100L, t), (101L, t), (102L, t), (103L, tNear),
+      (104L, text(40)), (105L, text(40)))
+    docs.map { case (id, tx) => (id, tx, "en", "src", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    // embeddings: 8 clusters x 6 members, center +- small noise
+    val erng = new graft.synth.Rng(11L)
+    def noise(): Float = (erng.nextInt(2001) - 1000) / 20000.0f // ±0.05
+    val emb = for {
+      c <- 0 until 8
+      m <- 0 until 6
+    } yield {
+      val crng = new graft.synth.Rng(1000L + c)
+      val center = Array.fill(64)((crng.nextInt(2001) - 1000) / 1000.0f)
+      ((c * 6 + m).toLong, center.map(_ + noise()).toSeq, c)
+    }
+    emb.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("d1: exact duplicates collapse to one canonical id") {
+    val r = CorpusOps.d1DedupExact(spark, dir)
+      .filter("n_copies > 1").collect()
+    assert(r.length == 1 && r.head.getAs[Long]("canonical") == 100L)
+    assert(r.head.getAs[Long]("n_copies") == 3) // 100, 101, 102 share text
+  }
+
+  test("d2: exact n-gram Jaccard finds the planted near-dup pair") {
+    val pairs = CorpusOps.d2NgramJaccard(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)) && pairs.contains((102L, 103L)))
+    assert(pairs.contains((100L, 102L))) // exact text == near via transitivity
+    assert(!pairs.exists(p => p._1 == 104L || p._2 == 105L && p._1 == 104L))
+  }
+
+  test("d6: simhash banding surfaces the near-dup candidates") {
+    val pairs = CorpusOps.d6SimHashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), s"pairs=$pairs")
+    assert(pairs.contains((102L, 103L)), s"pairs=$pairs")
+  }
+
+  test("d7: minhash LSH + exact verification finds the near-dup pairs") {
+    val pairs = CorpusOps.d7MinHashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)), s"pairs=$pairs")
+    assert(pairs.contains((102L, 103L)), s"pairs=$pairs")
+  }
+
+  test("e1: brute-force KNN neighbors come from the query's cluster") {
+    val rows = CorpusOps.e1KnnBrute(spark, dir).collect()
+    assert(rows.length == 30) // 10 queries x top-3
+    for (r <- rows) {
+      val q = r.getAs[Long]("query_id")
+      val n = r.getAs[Long]("neighbor_id")
+      assert(q / 6 == n / 6, s"query $q got out-of-cluster neighbor $n")
+    }
+  }
+
+  test("e2: LSH-bucketed ANN reaches >= 2/3 of brute-force recall") {
+    val exact = CorpusOps.e1KnnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = CorpusOps.e2AnnLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.66, s"recall $recall")
+  }
+
+  test("d8: fingerprints are stable and collide for identical docs") {
+    val fp = CorpusOps.d8Fingerprints(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val multi = fp.filter(_._2 >= 3)
+    assert(multi.nonEmpty) // 100/101/102 share text → same fingerprint
+  }
+}

@@ -54,7 +54,59 @@ object SparkEntry {
     "e2_ann_lsh" -> ((s, d) => CorpusOps.e2AnnLsh(s, d)),
     // extraction pipeline (rows-only: not SQL-expressible)
     "x1_extract_spans" -> ((s, _) => extractSpans(s, 24)),
+    "x2_table_detect" -> ((s, _) => tableDetect(s, 48)),
+    "x3_layout_segment" -> ((s, _) => layoutSegments(s, 48)),
+    "q12_json_extract" -> ((s, d) => RelationalOps.q12JsonExtract(s, d)),
   )
+
+  /** Classical table detection over synthetic pages with planted tables
+    * (T9-T12 path): distributed page-parallel kernel work. */
+  private def tableDetect(spark: SparkSession, nDocs: Int): DataFrame = {
+    import spark.implicits._
+    import graft.synth.PageRenderer
+    val pages = (0 until nDocs).flatMap { i =>
+      val docId = CorpusGen.docIdFor(i)
+      (1 to 8).collect {
+        case p if PageRenderer.layoutFor(docId, p).table.isDefined &&
+                  PageRenderer.storedRotation(docId, p) == 0 => (docId, p)
+      }
+    }
+    pages.toDS().repartition(8).mapPartitions { it =>
+      it.flatMap { case (docId, page) =>
+        val stored = PageRenderer.render(docId, page)
+        graft.kernel.TableDetect.detectTables(stored).zipWithIndex.map {
+          case (b, ti) =>
+            val cells = graft.kernel.TableDetect.detectTableCells(stored, b)
+            (docId, page, ti, b.x1, b.y1, b.x2, b.y2, cells.size)
+        }
+      }
+    }.toDF("doc_id", "page", "table_idx", "x1", "y1", "x2", "y2", "n_cells")
+      .orderBy("doc_id", "page", "table_idx")
+  }
+
+  /** Layout segmentation + containment matching over synthetic pages
+    * (T7 + J2/J3): per-page block inventory. */
+  private def layoutSegments(spark: SparkSession, nDocs: Int): DataFrame = {
+    import spark.implicits._
+    import graft.synth.PageRenderer
+    val pages = (0 until nDocs).flatMap { i =>
+      val docId = CorpusGen.docIdFor(i)
+      (1 to 4).map(p => (docId, p))
+    }
+    pages.toDS().repartition(8).mapPartitions { it =>
+      it.flatMap { case (docId, page) =>
+        val crop = graft.kernel.CropConfig.lookup(docId)
+        val pr = graft.kernel.Recognize.recognizeStored(
+          PageRenderer.render(docId, page), crop)
+        val layouts = graft.kernel.LayoutSegment.segment(
+          pr.lines, PageRenderer.LogicalW, PageRenderer.LogicalH)
+        val mm = graft.kernel.MatchMaking.matchTextsToLayouts(layouts, pr.lines)
+        mm.matched.map(m => (docId, page, m.position, m.label,
+                             m.texts.size, mm.rest.size))
+      }
+    }.toDF("doc_id", "page", "position", "label", "n_lines", "n_rest")
+      .orderBy("doc_id", "page", "position")
+  }
 
   /** DuckDB oracles (same parquet tables registered by table name). Omitted
     * for non-SQL-expressible ops (custom hash kernels, the OCR pipeline) —
@@ -217,6 +269,12 @@ object SparkEntry {
                 CASE WHEN len_ok = 1 AND tok_ok = 1 THEN 1 ELSE 0 END AS accepted,
                 COUNT(*) AS n_docs
          FROM t GROUP BY len_ok, tok_ok ORDER BY len_ok, tok_ok""",
+    "q12_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+         CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "e1_knn_brute" ->
       """WITH qe AS (
            SELECT vec_id,

@@ -158,6 +158,18 @@ object RelationalOps {
       .orderBy("rid", "cid")
   }
 
+  /** q12: embedded-JSON parsing — the reference's ast.literal_eval of
+    * stringified lists in work-list CSVs (S8,
+    * joradp_correct_add_table_data.py:107) re-expressed as from_json over
+    * the events props column. */
+  def q12JsonExtract(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   /** q11: IoU best-match join (J4, test_tables.py:279-332): synthetic
     * integer boxes from two tables, best-IoU GT per prediction via window
     * argmax; all ratios kept in scaled integer space (iou_e6). */

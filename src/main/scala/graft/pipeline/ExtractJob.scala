@@ -131,13 +131,21 @@ object ExtractJob {
     * read-modify-write of a directory a concurrent scan is planned over.
     * Calling run() again after a kill processes only unfinished docs. */
   def run(spark: SparkSession, inputPath: String, outPath: String,
-          ckptDir: String, cfg: Config = Config()): RunSummary = {
+          ckptDir: String, cfg: Config = Config(),
+          worklist: Option[DataFrame] = None): RunSummary = {
     import spark.implicits._
     val (inputDf, snapId) = SnapshotTable.read(spark, inputPath)
     val input = inputDf.as[Doc]
 
     val done: DataFrame = Checkpoint.doneDocs(spark, ckptDir, snapId)
-    val todo = input.join(done, Seq("doc_id"), "left_anti").as[Doc]
+    // optional selective work-list (F2/J5: the reference's CSV-driven
+    // reprocessing, joradp_correct_add_missing_bboxes.py:179-192) — a
+    // semi-join so only listed docs are (re)processed
+    val scoped = worklist match {
+      case Some(wl) => input.join(wl.select("doc_id"), Seq("doc_id"), "left_semi").as[Doc]
+      case None => input
+    }
+    val todo = scoped.join(done, Seq("doc_id"), "left_anti").as[Doc]
 
     val runId = s"${snapId}_${System.nanoTime()}"
     val out = extract(spark, todo, cfg)

@@ -117,6 +117,35 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hist(9) == hist.sum, "exact-match kernel → all confidences 1.0")
   }
 
+  test("work-list selective run processes only listed docs (F2/J5)") {
+    import spark.implicits._
+    val in = tmp("in5"); val out = tmp("out5"); val ck = tmp("ck5")
+    val (inputs, goldens) = CorpusGen.corpus(8)
+    SnapshotTable.write(inputs.toDS.toDF, in, buckets = 2)
+    val wanted = inputs.take(3).map(_.doc_id)
+    val wl = wanted.toDF("doc_id")
+    val r = ExtractJob.run(spark, in, out, ck, worklist = Some(wl))
+    assert(r.docsThisRun == 3)
+    val outDocs = ExtractJob.readOutput(spark, out).collect().toSeq
+    assert(outDocs.map(_.doc_id).toSet == wanted.toSet)
+    assertSpanEquality(outDocs, goldens.filter(g => wanted.contains(g.doc_id)))
+    // a later full run completes the rest without reprocessing
+    val r2 = ExtractJob.run(spark, in, out, ck)
+    assert(r2.docsThisRun == 5 && r2.docsProcessed == 8)
+  }
+
+  test("parquet scan prunes columns and pushes filters (q1 plan)") {
+    val plan = graft.operators.RelationalOps
+      .q1Pricing(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+           s"missing pushed filter:\n$plan")
+    // only the 5 needed columns are read, not all 11
+    assert("l_orderkey|l_partkey|l_suppkey".r.findFirstIn(
+             plan.linesIterator.filter(_.contains("ReadSchema")).mkString) == None,
+           "scan reads columns the query does not need")
+  }
+
   test("fused path plan shape: exactly one exchange before the kernel stage") {
     import spark.implicits._
     val (inputs, _) = CorpusGen.corpus(2)

@@ -24,6 +24,8 @@ object BenchLevel {
       // fixed-shape plan with pre-balanced buckets: AQE's shuffle
       // materialization barriers only add latency here
       .config("spark.sql.adaptive.enabled", "false")
+      // shuffle spill to tmpfs: /tmp disk IO contends across 32 threads
+      .config("spark.local.dir", "/dev/shm/spark-graft")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

@@ -117,9 +117,18 @@ object PageRenderer {
     sb.toString
   }
 
+  /** Planted value of table cell (row i, col j) — ground truth for the
+    * table OCR path (A7, TATR notebook apply_ocr analog). */
+  def cellValue(docId: String, page: Int, i: Int, j: Int): Int = {
+    val h = Rng.fnv64(s"$docId/$page/$i/$j") ^ 0xCE11CE11L
+    1 + java.lang.Math.floorMod(h, 999L).toInt
+  }
+
   /** The body lines of a page — this is the golden text for a media span.
     * Two-column pages return column 1's lines then column 2's (reading
-    * order). */
+    * order). Table pages append the cell digits in (y, x) reading order —
+    * the reference's main text pass OCRs the whole page including table
+    * areas (pdf_parser.py:125-157); tables get their own structured pass. */
   def bodyLines(docId: String, page: Int): Vector[String] = {
     val crop = CropConfig.lookup(docId)
     val rng = new Rng(pageSeed(docId, page))
@@ -130,7 +139,14 @@ object PageRenderer {
         val colW = (innerW - GutterW) / 2
         Vector.fill(n1 + n2)(genLine(rng, colW))
       case None =>
-        Vector.fill(layout.textLines)(genLine(rng, innerW))
+        val textLines = Vector.fill(layout.textLines)(genLine(rng, innerW))
+        val cellLines = layout.table.toVector.flatMap { t =>
+          for {
+            i <- 0 until t.rows
+            j <- 0 until t.cols
+          } yield cellValue(docId, page, i, j).toString
+        }
+        textLines ++ cellLines
     }
   }
 
@@ -202,8 +218,10 @@ object PageRenderer {
           drawLine(mask, ln, x0 + col * (colW + GutterW), yy)
         }
       case None =>
+        // bodyLines appends cell-digit golden lines on table pages; only
+        // the text block is drawn here (cells drawn in the table loop)
         var y = crop.top + BodyYPad
-        for (ln <- lines) {
+        for (ln <- lines.take(layout.textLines)) {
           drawLine(mask, ln, x0, y)
           y += GlyphFont.LinePitch
         }
@@ -233,6 +251,10 @@ object PageRenderer {
         }
         j += 1
       }
+      // cell contents: planted digit values (table OCR ground truth)
+      for (i <- 0 until t.rows; jj <- 0 until t.cols)
+        drawLine(mask, cellValue(docId, page, i, jj).toString,
+                 t.x + jj * t.cw + 6, t.y + i * t.ch + 6)
     }
     // margin specks in leading rows: become 1-px components the kernel's
     // noise filter must drop (F9, table_detection.py:205-214 analog)

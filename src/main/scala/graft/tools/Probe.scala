@@ -62,6 +62,9 @@ object Probe {
       val gcTime = new java.util.concurrent.atomic.AtomicLong()
       val maxTask = new java.util.concurrent.atomic.AtomicLong()
       val nTasks = new java.util.concurrent.atomic.AtomicLong()
+      val cpuTime = new java.util.concurrent.atomic.AtomicLong()
+      val deserTime = new java.util.concurrent.atomic.AtomicLong()
+      val shuffleFetch = new java.util.concurrent.atomic.AtomicLong()
       val stageTimes = new java.util.concurrent.ConcurrentHashMap[Int, (java.util.concurrent.atomic.AtomicLong, java.util.concurrent.atomic.AtomicLong)]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -70,6 +73,9 @@ object Probe {
           gcTime.addAndGet(e.taskMetrics.jvmGCTime)
           maxTask.getAndUpdate(m => math.max(m, d))
           nTasks.incrementAndGet()
+          cpuTime.addAndGet(e.taskMetrics.executorCpuTime)
+          deserTime.addAndGet(e.taskMetrics.executorDeserializeTime)
+          shuffleFetch.addAndGet(e.taskMetrics.shuffleReadMetrics.fetchWaitTime)
           val st = stageTimes.computeIfAbsent(e.stageId, _ =>
             (new java.util.concurrent.atomic.AtomicLong(), new java.util.concurrent.atomic.AtomicLong()))
           st._1.addAndGet(d)
@@ -78,6 +84,7 @@ object Probe {
       })
       for (i <- 1 to 5) {
         taskTime.set(0); gcTime.set(0); maxTask.set(0); nTasks.set(0)
+        cpuTime.set(0); deserTime.set(0); shuffleFetch.set(0)
         val (df, _) = graft.pipeline.SnapshotTable.read(spark, corpusPath)
         import spark.implicits._
         val t = System.nanoTime()
@@ -85,7 +92,7 @@ object Probe {
           graft.pipeline.ExtractJob.Config(buckets = 64, skewSpanThreshold = 32))
           .write.mode("overwrite").format("noop").save()
         val wall = (System.nanoTime() - t) / 1e9
-        println(f"local[$cores] run $i: wall $wall%6.2f s  taskSum ${taskTime.get / 1000.0}%7.2f s  maxTask ${maxTask.get / 1000.0}%6.2f s  gc ${gcTime.get / 1000.0}%5.2f s  tasks ${nTasks.get}")
+        println(f"local[$cores] run $i: wall $wall%6.2f s  taskSum ${taskTime.get / 1000.0}%7.2f s  cpuSum ${cpuTime.get / 1e9}%7.2f s  deser ${deserTime.get / 1000.0}%5.2f s  fetchWait ${shuffleFetch.get / 1000.0}%5.2f s  gc ${gcTime.get / 1000.0}%5.2f s")
         if (i == 5) {
           import scala.jdk.CollectionConverters._
           for ((sid, (sum, n)) <- stageTimes.asScala.toSeq.sortBy(_._1))

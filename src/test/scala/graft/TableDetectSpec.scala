@@ -128,6 +128,24 @@ class TableDetectSpec extends AnyFunSuite {
     assert(precision >= 0.75, s"precision $precision (tp=$tp fp=$fp fn=$fn)")
   }
 
+  test("table OCR: planted cell values recovered in a padded row grid (A7)") {
+    val (docId, page, spec) = tablePage
+    val stored = PageRenderer.render(docId, page)
+    val tables = TableDetect.detectTables(stored)
+    assert(tables.nonEmpty)
+    val cells = TableDetect.detectTableCells(stored, tables.head)
+    val grid = graft.kernel.TableOcr.extractGrid(stored, cells)
+    val want = Vector.tabulate(spec.rows, spec.cols)((i, j) =>
+      PageRenderer.cellValue(docId, page, i, j).toString)
+    assert(grid == want, s"grid=$grid want=$want")
+  }
+
+  test("apply_ocr row padding: shorter rows padded with empty strings (A7)") {
+    val grid = Vector(Vector("a", "b", "c"), Vector("d"), Vector("e", "f"))
+    assert(graft.kernel.TableOcr.padRows(grid) ==
+      Vector(Vector("a", "b", "c"), Vector("d", "", ""), Vector("e", "f", "")))
+  }
+
   test("text recognition is undisturbed by a planted table (graphics gate)") {
     val (docId, page, _) = tablePage
     val crop = graft.kernel.CropConfig.lookup(docId)

@@ -39,9 +39,13 @@ object CorpusOps {
   }
 
   /** d2: exact n-gram Jaccard near-dup pairs — pair join on shared
-    * shingles (never all-pairs), integer-scaled similarity. */
+    * shingles (never all-pairs), integer-scaled similarity. The shingle
+    * table feeds 4 subplans (both join sides + both size lookups), so it
+    * is materialized once — at production scale this is a written-out
+    * intermediate table, not a recompute. */
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir, 300L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -183,7 +187,8 @@ object CorpusOps {
       .select(col("vec_id").as("query_id"), col("qv").as("qa"))
     val n = quantized(s, dir)
       .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"))
-    val scored = q.join(n, col("query_id") =!= col("neighbor_id"))
+    // broadcast the QUERY side — the corpus side is the 100 TB one
+    val scored = n.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", aggregate(
         zip_with(col("qa"), col("qb"), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x))
@@ -219,7 +224,8 @@ object CorpusOps {
               col("tbl"), col("bucket"))
     val n = emb.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
                        col("tbl"), col("bucket"))
-    val scored = q.join(n, Seq("tbl", "bucket"))
+    // broadcast the query side; the bucketed corpus side stays distributed
+    val scored = n.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("dot", aggregate(

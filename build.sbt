@@ -32,6 +32,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32-thread kernel phases alternate with relational phases
   "-XX:+UnlockExperimentalVMOptions",
   "-XX:G1NewSizePercent=30",
+  // first-touch page faults of a 16g heap are charged to task threads
+  // mid-run; pre-touch at startup instead
+  "-XX:+AlwaysPreTouch",
   // page planes are multi-MB int arrays; without this they are G1
   // "humongous" allocations (>= 50% of the default 4m region) and
   // progressively fragment the heap under 32-thread kernel load

@@ -55,15 +55,39 @@ object Bench {
       s"-XX:ActiveProcessorCount=$cores",
       "-cp", System.getProperty("java.class.path"),
       "graft.BenchLevel", cores.toString, corpusPath, runs.toString)
+    runPinned(cmd, s"LEVEL $cores ")
+  }
+
+  /** Pure-kernel level (no Spark) in a pinned JVM — isolates the engine's
+    * own thread scaling from the Spark task path. */
+  private def pureLevelInPinnedJvm(cores: Int, nDocs: Int): Seq[Double] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val inherited = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala.toSeq
+    val pin =
+      if (new java.io.File("/usr/bin/taskset").exists())
+        Seq("taskset", "-c", s"0-${cores - 1}")
+      else Seq.empty
+    val cmd = pin ++ Seq(javaBin) ++ inherited ++ Seq(
+      s"-XX:ActiveProcessorCount=$cores",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.PureLevel", cores.toString, nDocs.toString)
+    runPinned(cmd, s"PURE $cores ")
+  }
+
+  private def runPinned(cmd: Seq[String], marker: String): Seq[Double] = {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val p = pb.start()
     val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toVector
     p.waitFor()
-    out.find(_.startsWith(s"LEVEL $cores ")) match {
-      case Some(line) => line.split(" ").drop(2).toSeq.map(_.toDouble)
+    out.find(_.startsWith(marker)) match {
+      case Some(line) =>
+        line.stripPrefix(marker).trim.split(" ").toSeq
+          .filterNot(_.contains("=")).map(_.toDouble)
       case None => throw new RuntimeException(
-        s"bench level $cores failed:\n" + out.takeRight(30).mkString("\n"))
+        s"pinned level '$marker' failed:\n" + out.takeRight(30).mkString("\n"))
     }
   }
 
@@ -93,6 +117,11 @@ object Bench {
     val (docs8, spans8) = levelThroughput(8)
     val (docs32, spans32) = levelThroughput(32)
     val efficiency = docs32 / (4.0 * docs8)
+    // pure-kernel scaling (engine-only, no Spark task path)
+    val k8 = nDocs / best(pureLevelInPinnedJvm(8, nDocs))
+    val k32 = nDocs / best(pureLevelInPinnedJvm(32, nDocs))
+    val kEff = k32 / (4.0 * k8)
+    System.err.println(f"[bench] pure kernel: $k8%.1f docs/s @8, $k32%.1f @32, eff $kEff%.3f")
 
     // ---- phase 2: headline operator queries at local[cpus]
     val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES").contains("1")
@@ -114,6 +143,6 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => s""""$k":${f(v)}""" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"end-to-end extraction throughput (docs/sec at local[32]; scaling efficiency local[8]->local[32] attached)","value":${f(docs32)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f(totalQuerySec)},"scaling":{"corpus_docs":$nDocs,"corpus_spans":$totalSpans,"local8_docs_per_sec":${f(docs8)},"local8_spans_per_sec":${f(spans8)},"local32_docs_per_sec":${f(docs32)},"local32_spans_per_sec":${f(spans32)},"efficiency_n_to_4n":${f(efficiency)}}}""")
+      s"""{"metric":"end-to-end extraction throughput (docs/sec at local[32]; scaling efficiency local[8]->local[32] attached)","value":${f(docs32)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f(totalQuerySec)},"scaling":{"corpus_docs":$nDocs,"corpus_spans":$totalSpans,"local8_docs_per_sec":${f(docs8)},"local8_spans_per_sec":${f(spans8)},"local32_docs_per_sec":${f(docs32)},"local32_spans_per_sec":${f(spans32)},"efficiency_n_to_4n":${f(efficiency)},"kernel_local8_docs_per_sec":${f(k8)},"kernel_local32_docs_per_sec":${f(k32)},"kernel_efficiency_n_to_4n":${f(kEff)}}}""")
   }
 }

@@ -26,8 +26,10 @@ object TextHashes {
     z ^ (z >>> 31)
   }
 
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
   def tokens(text: String): Array[String] =
-    text.split("\\s+").filter(_.nonEmpty)
+    ws.split(text).filter(_.nonEmpty)
 
   /** Word n-gram shingle hashes (distinct). */
   def shingleHashes(text: String, n: Int): Array[Long] = {

@@ -113,6 +113,8 @@ object BoilerplateStrip {
       .replace("&amp;", "&")
   }
 
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
   def collapse(s: String): String =
-    s.replaceAll("\\s+", " ").trim
+    ws.matcher(s).replaceAll(" ").trim
 }

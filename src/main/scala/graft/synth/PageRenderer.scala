@@ -101,6 +101,18 @@ object PageRenderer {
     } else PageLayout(rng.between(22, 32), None, None)
   }
 
+  /** Leading-gap indices carrying a full-width separator rule
+    * (`Ligne Horizontale` fixture class): ~1 in 6 single-column non-table
+    * pages. The text path must gate these out via the graphics filter. */
+  def hruleLines(docId: String, page: Int): Vector[Int] = {
+    val layout = layoutFor(docId, page)
+    if (layout.table.nonEmpty || layout.twoCol.nonEmpty) return Vector.empty
+    val hr = new Rng(pageSeed(docId, page) ^ 0x408117E5L)
+    if (hr.nextInt(6) != 0 || layout.textLines <= 4) Vector.empty
+    else Vector.fill(hr.between(1, 2))(1 + hr.nextInt(layout.textLines - 2))
+      .distinct
+  }
+
   private def genLine(rng: Rng, maxW: Int): String = {
     val sb = new StringBuilder
     var px = 0
@@ -224,6 +236,17 @@ object PageRenderer {
         for (ln <- lines.take(layout.textLines)) {
           drawLine(mask, ln, x0, y)
           y += GlyphFont.LinePitch
+        }
+        // horizontal-rule fixture (`Ligne Horizontale` failure class,
+        // FIXTURES.md §3): full-width separator rules in leading gaps on
+        // ~1 in 6 non-table single-column pages; the text path must gate
+        // them out (graphics filter), goldens unchanged
+        for (li <- hruleLines(docId, page)) {
+          val ry = crop.top + BodyYPad + li * GlyphFont.LinePitch - 3
+          val x1 = crop.left + BodyXPad
+          val x2 = LogicalW - crop.right - BodyXPad
+          var x = x1
+          while (x < x2) { mask(ry * LogicalW + x) = true; x += 1 }
         }
     }
     // ruled table fixture (2 px rule lines; text recognition filters these

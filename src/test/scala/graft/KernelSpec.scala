@@ -124,6 +124,22 @@ class KernelSpec extends AnyFunSuite {
     assert(st.confHist.sum > 0 && st.confHist(9) == st.confHist.sum)
   }
 
+  test("horizontal-rule pages roundtrip exactly (rules graphics-gated)") {
+    val docId = "F1970005"
+    val crop = CropConfig.lookup(docId)
+    var checked = 0
+    for (page <- 1 to 150 if checked < 3) {
+      if (PageRenderer.hruleLines(docId, page).nonEmpty &&
+          PageRenderer.storedRotation(docId, page) == 0) {
+        val got = Recognize.recognizeStored(PageRenderer.render(docId, page), crop)
+        assert(got.text == PageRenderer.bodyText(docId, page),
+               s"hrule mismatch page $page")
+        checked += 1
+      }
+    }
+    assert(checked == 3, s"only $checked hrule pages found")
+  }
+
   test("corpus doc ids are unique and match the reference regex") {
     val ids = (0 until 500).map(CorpusGen.docIdFor)
     assert(ids.distinct.size == ids.size)

@@ -95,7 +95,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "4800").toInt
-    val corpusPath = s"/tmp/graft_bench_corpus_$nDocs"
+    val corpusPath = s"/tmp/graft_bench_corpus_${nDocs}_v${CorpusGen.GenVersion}"
 
     // ---- phase 1: scaling, local[8] vs local[32] on identical input
     val prep = session(8)

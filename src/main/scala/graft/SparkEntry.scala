@@ -50,14 +50,47 @@ object SparkEntry {
     "d6_simhash_pairs" -> ((s, d) => CorpusOps.d6SimHashPairs(s, d)),
     "d7_minhash_lsh" -> ((s, d) => CorpusOps.d7MinHashLsh(s, d)),
     "d8_fingerprints" -> ((s, d) => CorpusOps.d8Fingerprints(s, d)),
+    "d9_embed_dup" -> ((s, d) => CorpusOps.d9EmbedDup(s, d)),
     "e1_knn_brute" -> ((s, d) => CorpusOps.e1KnnBrute(s, d)),
     "e2_ann_lsh" -> ((s, d) => CorpusOps.e2AnnLsh(s, d)),
+    "e3_ann_ivf" -> ((s, d) => CorpusOps.e3AnnIvf(s, d)),
     // extraction pipeline (rows-only: not SQL-expressible)
     "x1_extract_spans" -> ((s, _) => extractSpans(s, 24)),
     "x2_table_detect" -> ((s, _) => tableDetect(s, 48)),
     "x3_layout_segment" -> ((s, _) => layoutSegments(s, 48)),
+    "x4_media_stats" -> ((s, _) => mediaStats(s, 48)),
     "q12_json_extract" -> ((s, d) => RelationalOps.q12JsonExtract(s, d)),
   )
+
+  /** Multimodal feature extraction as a standalone distributed query:
+    * media spans are opaque refs; each partition decodes its pages (the
+    * object-store/codec seam) and emits typed per-page features (size,
+    * Otsu threshold, ink density, mean intensity). The decode is the
+    * deterministic synthetic renderer — the container ships no image
+    * codecs — but the Spark-side plumbing (schema, partitioning, batch
+    * shape) is the real thing. */
+  private def mediaStats(spark: SparkSession, nDocs: Int): DataFrame = {
+    import spark.implicits._
+    val (inputs, _) = CorpusGen.corpus(nDocs)
+    val media = inputs.flatMap(d =>
+      d.spans.filter(_.kind == "media").map(sp => (d.doc_id, sp.offset, sp.media_ref)))
+    media.toDS().repartition(8).mapPartitions { it =>
+      it.map { case (docId, off, ref) =>
+        val g = graft.synth.PageRenderer.decode(ref)
+        val t = graft.img.Otsu.threshold(g)
+        var i = 0; var ink = 0L; var sum = 0L
+        while (i < g.px.length) {
+          val v = g.px(i) & 0xFF
+          sum += v
+          if (v <= t) ink += 1
+          i += 1
+        }
+        val npx = g.px.length.toLong
+        (docId, off, g.w, g.h, t, ink * 1000000L / npx, sum / npx)
+      }
+    }.toDF("doc_id", "offset", "w", "h", "otsu_t", "ink_e6", "mean_px")
+      .orderBy("doc_id", "offset")
+  }
 
   /** Classical table detection over synthetic pages with planted tables
     * (T9-T12 path): distributed page-parallel kernel work. */
@@ -269,6 +302,25 @@ object SparkEntry {
                 CASE WHEN len_ok = 1 AND tok_ok = 1 THEN 1 ELSE 0 END AS accepted,
                 COUNT(*) AS n_docs
          FROM t GROUP BY len_ok, tok_ok ORDER BY len_ok, tok_ok""",
+    "d9_embed_dup" ->
+      """WITH qe AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, qv,
+                  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+           FROM qe),
+         p AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                    t -> t[1] * t[2])) AS BIGINT) AS dot,
+                  a.nrm AS na, b.nrm AS nb
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT vec_a, vec_b, dot, na, nb FROM p
+         WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
+         ORDER BY vec_a, vec_b""",
     "q12_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

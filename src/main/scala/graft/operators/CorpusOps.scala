@@ -179,6 +179,102 @@ object CorpusOps {
         transform(col("embedding"),
           x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
 
+  private def dotCol(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** d9: embedding-cosine near-duplicate pairs with an EXACT integer
+    * predicate — cos(a,b) >= 0.40 ⟺ dot > 0 ∧ 25·dot² >= 4·‖a‖²·‖b‖²
+    * (0.40² = 4/25; quantized int64 vectors, no float compare anywhere,
+    * so the boundary is bit-identical in any engine → DuckDB-oracled).
+    * Bounds: |dot| <= 64·10⁶ → 25·dot² <= 1.1e17, well inside int64.
+    * At 100 TB the pair space is first blocked by the e2 LSH / e3 IVF
+    * buckets and this predicate is the exact per-candidate verifier; the
+    * oracled form here runs it over the full (bounded) pair space. */
+  def d9EmbedDup(s: SparkSession, dir: String): DataFrame = {
+    val q = quantized(s, dir)
+      .withColumn("nrm", dotCol(col("qv"), col("qv")))
+    val a = q.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+                     col("nrm").as("na"))
+    val b = q.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+                     col("nrm").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("dot", dotCol(col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+              col("dot") * col("dot") * lit(25L) >=
+              col("na") * col("nb") * lit(4L))
+      .select(col("vec_a"), col("vec_b"), col("dot"), col("na"), col("nb"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** e3: IVF-style ANN — the scale path beside e2's LSH. A coarse
+    * quantizer is trained with one k-means refinement over deterministic
+    * seeded init (every (N/K)-th id of the sorted sample; at production
+    * scale training runs on a sample, search on everything): assignment is
+    * a broadcast cross-join + argmax window (K is tiny), the per-dim
+    * integer floor-mean update is a posexplode/groupBy — all distributed,
+    * no driver-side math beyond collecting K×dim longs. Search probes the
+    * query's top-`nprobe` centroid lists and exact-re-ranks inside them
+    * only, so the corpus side never all-pairs. Rows-only (centroid ids are
+    * engine-internal); recall vs e1 gated in OperatorSpec. */
+  def e3AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val nprobe = 3
+    val q = quantized(s, dir).withColumn("nrm", dotCol(col("qv"), col("qv")))
+    val n = q.count()
+    val step = math.max(1L, n / k)
+    val init = q
+      .filter(col("vec_id") % step === 0 && col("vec_id") / step < k)
+      .select((col("vec_id") / step).cast("int").as("cid"),
+              col("qv").as("cv"))
+    // assign every vector to its argmax-cosine centroid (ties → lower
+    // cid). max_by + groupBy, not a window: partial aggregation collapses
+    // the N×K cross-join map-side, so only ~N rows ever shuffle.
+    def assign(cent: DataFrame): DataFrame =
+      q.crossJoin(broadcast(cent))
+        .withColumn("score",
+          dotCol(col("qv"), col("cv")).cast("double") /
+          sqrt(dotCol(col("cv"), col("cv")).cast("double")))
+        .groupBy(col("vec_id"))
+        .agg(first(col("qv")).as("qv"), first(col("nrm")).as("nrm"),
+             max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
+    // one k-means refinement: per-dimension integer floor mean per cell
+    val refined = assign(init)
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(floor(avg(col("v"))).cast("long").as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+                     x => x.getField("m")).as("cv"))
+    val lists = assign(refined) // inverted lists: vec_id → cell
+    val probes = q.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(refined))
+      .withColumn("score",
+        dotCol(col("qv"), col("cv")).cast("double") /
+        sqrt(dotCol(col("cv"), col("cv")).cast("double")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("score").desc, col("cid").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("cid"))
+    val cand = lists.select(col("vec_id").as("neighbor_id"),
+                            col("qv").as("qb"), col("nrm").as("nb"),
+                            col("cid"))
+    // broadcast the (query × probe) side; corpus lists stay distributed
+    val scored = cand.join(broadcast(probes), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("score",
+        dotCol(col("qa"), col("qb")).cast("double") /
+        sqrt(col("nb").cast("double")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** e1: brute-force cosine top-3 neighbors for the first 10 vectors —
     * the exact baseline for similarity search. Rank key dot/sqrt(norm) is
     * a deterministic double over integer inputs in any engine. */

@@ -163,4 +163,56 @@ object ExtractJob {
     import spark.implicits._
     spark.read.parquet(outPath).select("doc_id", "spans").as[Doc]
   }
+
+  /** Selective table-structure pass — the Spark lifecycle equivalent of
+    * joradp_correct_add_table_data.py (SURVEY §3.3): one work-list row per
+    * (doc, page) with either `full_page = true` (the table bbox is the
+    * whole page — pdf_parser.py:301-304 fallback) or an explicit
+    * `table_boxes` JSON list (the reference parses the stringified CSV
+    * column with ast.literal_eval at :107 — `from_json` here). Boxes are
+    * in stored (2x) pixel coordinates. Emits one row per table with its
+    * detected cell count and the recognized, ""-padded text grid (A7).
+    *
+    * Page numbers are the media-span ordinal within the doc in offset
+    * order (cover = 0), matching the reference's PDF page indices. The
+    * work-list is broadcast (it is always small next to the corpus); the
+    * decode + cell detection runs data-parallel over the matched pages. */
+  def tableDataSelective(spark: SparkSession, input: Dataset[Doc],
+      worklist: DataFrame, cfg: Config = Config()): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val store = cfg.store
+    val wl = worklist.select(
+      col("doc_id"),
+      col("page_number").cast("int"),
+      col("full_page").cast("boolean"),
+      from_json(col("table_boxes"),
+        ArrayType(ArrayType(IntegerType))).as("boxes"))
+    val pages = input.flatMap { doc =>
+      doc.spans.filter(_.kind == "media").sortBy(_.offset).zipWithIndex
+        .map { case (s, pn) => (doc.doc_id, pn, s.media_ref) }
+    }.toDF("doc_id", "page_number", "media_ref")
+    pages.join(broadcast(wl), Seq("doc_id", "page_number"))
+      .as[(String, Int, String, Boolean, Seq[Seq[Int]])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, pn, ref, fullPage, boxesRaw) =>
+          val boxes = Option(boxesRaw).getOrElse(Seq.empty)
+          // CSV sync invariant: exactly one of full_page / table_boxes
+          // (joradp_correct_add_table_data.py:113-114)
+          require(fullPage ^ boxes.nonEmpty,
+            s"work-list row ($docId, $pn) must set exactly one of " +
+            "full_page / table_boxes")
+          val img = store.decode(ref)
+          val tboxes =
+            if (fullPage) Seq(graft.core.BBox(0, 0, img.w, img.h))
+            else boxes.map(b => graft.core.BBox(b(0), b(1), b(2), b(3)))
+          tboxes.zipWithIndex.map { case (bb, ti) =>
+            val cells = graft.kernel.TableDetect.detectTableCells(img, bb)
+            val grid = graft.kernel.TableOcr.extractGrid(img, cells)
+            (docId, pn, ti, bb.x1, bb.y1, bb.x2, bb.y2, cells.size, grid)
+          }
+        }
+      }.toDF("doc_id", "page_number", "table_idx",
+             "x1", "y1", "x2", "y2", "n_cells", "grid")
+  }
 }

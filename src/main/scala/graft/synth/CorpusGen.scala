@@ -10,6 +10,10 @@ import graft.kernel.BoilerplateStrip
   */
 object CorpusGen {
 
+  /** Bump when generator output changes — benchmark corpus caches key on
+    * it so a stale on-disk corpus is never silently reused. */
+  val GenVersion = 2
+
   private val LowerWords: Vector[String] = Vector(
     "article", "decret", "ministre", "republique", "journal", "officiel",
     "nationale", "president", "conseil", "portant", "modifiant", "relatif",

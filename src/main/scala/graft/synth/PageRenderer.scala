@@ -74,6 +74,36 @@ object PageRenderer {
 
   val GutterW = 14
 
+  /** `Deux Colonnes soft` failure class (report_wrong.csv corpus): a
+    * narrow 11 px gutter on ~1 in 4 two-column pages — still a real
+    * gutter, but with zero slack above the kernel's line-split threshold
+    * (Recognize.LineSplitGap = 10) and LayoutSegment.MinGutterWidth (8). */
+  val SoftGutterW = 11
+
+  def gutterWFor(docId: String, page: Int): Int = {
+    val rng = new Rng(pageSeed(docId, page) ^ 0x50F7C01L)
+    if (rng.nextInt(4) == 0) SoftGutterW else GutterW
+  }
+
+  /** `Layouts Imbriqués` failure class: an indented sub-block
+    * (start line, length, indent px) on ~1 in 6 single-column non-table
+    * pages. Reading order is unchanged (y-sorted); the indent must not
+    * read as a column gutter (other lines cross the left band). */
+  def nestedBlock(docId: String, page: Int): Option[(Int, Int, Int)] = {
+    val layout = layoutFor(docId, page)
+    if (layout.table.nonEmpty || layout.twoCol.nonEmpty ||
+        layout.textLines < 8) None
+    else {
+      val rng = new Rng(pageSeed(docId, page) ^ 0x1B1B1B1BL)
+      if (rng.nextInt(6) != 0) None
+      else {
+        val start = 2 + rng.nextInt(layout.textLines - 6)
+        val len = rng.between(2, 3)
+        Some((start, len, 20))
+      }
+    }
+  }
+
   /** Page layout modes (FIXTURES.md §3 fixture classes):
     * single column (~65%), two columns with central gutter (~20%,
     * `Deux Colonnes`), ruled table below a short text block (~15%,
@@ -148,10 +178,17 @@ object PageRenderer {
     val innerW = LogicalW - crop.left - crop.right - 2 * BodyXPad
     layout.twoCol match {
       case Some((n1, n2)) =>
-        val colW = (innerW - GutterW) / 2
+        val colW = (innerW - gutterWFor(docId, page)) / 2
         Vector.fill(n1 + n2)(genLine(rng, colW))
       case None =>
-        val textLines = Vector.fill(layout.textLines)(genLine(rng, innerW))
+        val nested = nestedBlock(docId, page)
+        val textLines = Vector.tabulate(layout.textLines) { i =>
+          val indent = nested match {
+            case Some((s0, len, ind)) if i >= s0 && i < s0 + len => ind
+            case _ => 0
+          }
+          genLine(rng, innerW - indent)
+        }
         val cellLines = layout.table.toVector.flatMap { t =>
           for {
             i <- 0 until t.rows
@@ -221,20 +258,26 @@ object PageRenderer {
     val x0 = crop.left + BodyXPad
     layout.twoCol match {
       case Some((n1, _)) =>
+        val g = gutterWFor(docId, page)
         val innerW = LogicalW - crop.left - crop.right - 2 * BodyXPad
-        val colW = (innerW - GutterW) / 2
+        val colW = (innerW - g) / 2
         for ((ln, i) <- lines.zipWithIndex) {
           val col = if (i < n1) 0 else 1
           val yy = crop.top + BodyYPad +
                    (if (col == 0) i else i - n1) * GlyphFont.LinePitch
-          drawLine(mask, ln, x0 + col * (colW + GutterW), yy)
+          drawLine(mask, ln, x0 + col * (colW + g), yy)
         }
       case None =>
         // bodyLines appends cell-digit golden lines on table pages; only
         // the text block is drawn here (cells drawn in the table loop)
+        val nested = nestedBlock(docId, page)
         var y = crop.top + BodyYPad
-        for (ln <- lines.take(layout.textLines)) {
-          drawLine(mask, ln, x0, y)
+        for ((ln, i) <- lines.take(layout.textLines).zipWithIndex) {
+          val indent = nested match {
+            case Some((s0, len, ind)) if i >= s0 && i < s0 + len => ind
+            case _ => 0
+          }
+          drawLine(mask, ln, x0 + indent, y)
           y += GlyphFont.LinePitch
         }
         // horizontal-rule fixture (`Ligne Horizontale` failure class,

@@ -140,6 +140,42 @@ class KernelSpec extends AnyFunSuite {
     assert(checked == 3, s"only $checked hrule pages found")
   }
 
+  test("soft-gutter two-column pages roundtrip exactly (Deux Colonnes soft)") {
+    val docId = "F1988004"
+    val crop = CropConfig.lookup(docId)
+    var checked = 0
+    for (page <- 1 to 150 if checked < 3) {
+      val layout = PageRenderer.layoutFor(docId, page)
+      if (layout.twoCol.nonEmpty &&
+          PageRenderer.gutterWFor(docId, page) == PageRenderer.SoftGutterW &&
+          PageRenderer.storedRotation(docId, page) == 0) {
+        val got = Recognize.recognizeStored(PageRenderer.render(docId, page), crop)
+        assert(got.text == PageRenderer.bodyText(docId, page),
+               s"soft-gutter mismatch page $page")
+        checked += 1
+      }
+    }
+    assert(checked == 3, s"only $checked soft-gutter pages found")
+  }
+
+  test("nested indented blocks roundtrip exactly (Layouts Imbriqués)") {
+    val docId = "F2001006"
+    val crop = CropConfig.lookup(docId)
+    var checked = 0
+    for (page <- 1 to 200 if checked < 3) {
+      if (PageRenderer.nestedBlock(docId, page).nonEmpty &&
+          PageRenderer.storedRotation(docId, page) == 0) {
+        val got = Recognize.recognizeStored(PageRenderer.render(docId, page), crop)
+        // exact equality implies the indent did NOT read as a column
+        // gutter (a spurious split would reorder lines)
+        assert(got.text == PageRenderer.bodyText(docId, page),
+               s"nested-block mismatch page $page")
+        checked += 1
+      }
+    }
+    assert(checked == 3, s"only $checked nested-block pages found")
+  }
+
   test("corpus doc ids are unique and match the reference regex") {
     val ids = (0 until 500).map(CorpusGen.docIdFor)
     assert(ids.distinct.size == ids.size)

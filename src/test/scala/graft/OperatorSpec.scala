@@ -95,6 +95,26 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(recall >= 0.66, s"recall $recall")
   }
 
+  test("d9: embedding-cosine near-dup pairs stay within planted clusters") {
+    val pairs = CorpusOps.d9EmbedDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty) // cluster members are ±0.05 perturbations
+    for ((a, b) <- pairs)
+      assert(a / 6 == b / 6, s"cross-cluster pair ($a,$b) above 0.40 cosine")
+    // every same-cluster pair must be found (centers are near-orthogonal,
+    // members near-identical): 8 clusters x C(6,2) = 120 pairs
+    assert(pairs.length == 8 * 15, s"got ${pairs.length} pairs")
+  }
+
+  test("e3: IVF ANN reaches >= 0.9 of brute-force recall on clusters") {
+    val exact = CorpusOps.e1KnnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = CorpusOps.e3AnnIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("d8: fingerprints are stable and collide for identical docs") {
     val fp = CorpusOps.d8Fingerprints(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

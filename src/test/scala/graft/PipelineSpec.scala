@@ -134,6 +134,50 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r2.docsThisRun == 5 && r2.docsProcessed == 8)
   }
 
+  test("selective table pass: explicit boxes + full-page fallback (§3.3)") {
+    import graft.synth.PageRenderer
+    import spark.implicits._
+    val (inputs, _) = CorpusGen.corpus(40)
+    // find a (doc, media-span ordinal) whose rendered page has a planted
+    // table, upright, and is actually present in the doc
+    val hit = inputs.iterator.flatMap { d =>
+      val nMedia = d.spans.count(_.kind == "media")
+      (1 until nMedia).collectFirst {
+        case pn if PageRenderer.layoutFor(d.doc_id, pn).table.isDefined &&
+                   PageRenderer.storedRotation(d.doc_id, pn) == 0 =>
+          (d.doc_id, pn, PageRenderer.layoutFor(d.doc_id, pn).table.get)
+      }
+    }.next()
+    val (docId, pn, spec) = hit
+    val gt = spec.bbox2x
+    val wl = Seq(
+      (docId, pn, false, s"[[${gt.x1},${gt.y1},${gt.x2},${gt.y2}]]"),
+      (docId, pn, true, null.asInstanceOf[String])
+    ).toDF("doc_id", "page_number", "full_page", "table_boxes")
+    val rows = ExtractJob.tableDataSelective(spark, inputs.toDS(), wl)
+      .collect()
+    assert(rows.length == 2)
+    val byFull = rows.partition(r => r.getAs[Int]("x1") == 0 &&
+                                     r.getAs[Int]("y1") == 0)
+    val full = byFull._1.head
+    val boxed = byFull._2.head
+    // explicit-box row recovers the planted grid exactly
+    val want = Vector.tabulate(spec.rows, spec.cols)((i, j) =>
+      PageRenderer.cellValue(docId, pn, i, j).toString)
+    val grid = boxed
+      .getAs[scala.collection.Seq[scala.collection.Seq[String]]]("grid")
+    assert(grid.map(_.toVector).toVector == want, s"grid=$grid")
+    assert(boxed.getAs[Int]("n_cells") >= spec.rows * spec.cols)
+    // full-page fallback covers the whole stored page and still finds cells
+    assert(full.getAs[Int]("n_cells") >= 1)
+    // invariant violation (both set) must fail loudly
+    val bad = Seq((docId, pn, true, "[[0,0,10,10]]"))
+      .toDF("doc_id", "page_number", "full_page", "table_boxes")
+    assertThrows[org.apache.spark.SparkException] {
+      ExtractJob.tableDataSelective(spark, inputs.toDS(), bad).collect()
+    }
+  }
+
   test("parquet scan prunes columns and pushes filters (q1 plan)") {
     val plan = graft.operators.RelationalOps
       .q1Pricing(spark, "/root/testdata/sf0.001")

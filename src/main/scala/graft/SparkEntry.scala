@@ -59,6 +59,7 @@ object SparkEntry {
     "x2_table_detect" -> ((s, _) => tableDetect(s, 48)),
     "x3_layout_segment" -> ((s, _) => layoutSegments(s, 48)),
     "x4_media_stats" -> ((s, _) => mediaStats(s, 48)),
+    "x5_table_selective" -> ((s, _) => tableSelective(s, 48)),
     "q12_json_extract" -> ((s, d) => RelationalOps.q12JsonExtract(s, d)),
   )
 
@@ -139,6 +140,33 @@ object SparkEntry {
       }
     }.toDF("doc_id", "page", "position", "label", "n_lines", "n_rest")
       .orderBy("doc_id", "page", "position")
+  }
+
+  /** Selective table-structure pass (§3.3 lifecycle) over a deterministic
+    * work-list: every upright planted-table page gets an explicit-box row;
+    * recognized cell grids come back flattened for comparison. */
+  private def tableSelective(spark: SparkSession, nDocs: Int): DataFrame = {
+    import spark.implicits._
+    import graft.synth.PageRenderer
+    val (inputs, _) = CorpusGen.corpus(nDocs)
+    val wlRows = inputs.flatMap { d =>
+      val nMedia = d.spans.count(_.kind == "media")
+      (1 until nMedia).flatMap { pn =>
+        val lay = PageRenderer.layoutFor(d.doc_id, pn)
+        if (lay.table.isDefined &&
+            PageRenderer.storedRotation(d.doc_id, pn) == 0) {
+          val gt = lay.table.get.bbox2x
+          Some((d.doc_id, pn, false,
+                s"[[${gt.x1},${gt.y1},${gt.x2},${gt.y2}]]"))
+        } else None
+      }
+    }
+    val wl = wlRows.toDF("doc_id", "page_number", "full_page", "table_boxes")
+    graft.pipeline.ExtractJob.tableDataSelective(spark, inputs.toDS(), wl)
+      .select(col("doc_id"), col("page_number"), col("table_idx"),
+              col("x1"), col("y1"), col("x2"), col("y2"), col("n_cells"),
+              concat_ws("|", flatten(col("grid"))).as("grid_flat"))
+      .orderBy("doc_id", "page_number", "table_idx")
   }
 
   /** DuckDB oracles (same parquet tables registered by table name). Omitted

@@ -56,6 +56,30 @@ case class LshSignBucketExpr(child: Expression, nbits: Int, seed: Long)
   override def prettyName: String = "lsh_bucket"
 }
 
+/** dot_i64(a: array<long>, b: array<long>) → long — integer dot product
+  * on primitive arrays. The hot inner loop of every embedding operator
+  * (dedup verify, KNN, ANN re-rank): a native Expression instead of
+  * aggregate(zip_with(...)), whose higher-order lambdas evaluate
+  * interpreted per element. */
+case class DotI64Expr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toLongArray()
+    val b = r.asInstanceOf[ArrayData].toLongArray()
+    require(a.length == b.length,
+      s"dot_i64: length mismatch ${a.length} vs ${b.length}")
+    var acc = 0L
+    var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    java.lang.Long.valueOf(acc)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotI64Expr = copy(l, r)
+  override def prettyName: String = "dot_i64"
+}
+
 /** fingerprint64(text, window) → long (winnowing-style min rolling hash). */
 case class FingerprintExpr(child: Expression, window: Int)
     extends UnaryExpression with CodegenFallback {
@@ -89,5 +113,7 @@ object GraftFunctions {
       es => LshSignBucketExpr(es.head, lit(es(1)), lit(es(2)).toLong), "scala_udf")
     reg.createOrReplaceTempFunction("fingerprint64",
       es => FingerprintExpr(es.head, lit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_i64",
+      es => DotI64Expr(es.head, es(1)), "scala_udf")
   }
 }

@@ -179,9 +179,13 @@ object CorpusOps {
         transform(col("embedding"),
           x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
 
+  /** Integer dot product via the native dot_i64 Expression (primitive
+    * long-array loop; an interpreted aggregate(zip_with(...)) lambda chain
+    * costs ~an order of magnitude more per pair). Requires
+    * GraftFunctions.register on the session. */
   private def dotCol(a: org.apache.spark.sql.Column,
                      b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    call_function("dot_i64", a, b)
 
   /** d9: embedding-cosine near-duplicate pairs with an EXACT integer
     * predicate — cos(a,b) >= 0.40 ⟺ dot > 0 ∧ 25·dot² >= 4·‖a‖²·‖b‖²
@@ -192,12 +196,17 @@ object CorpusOps {
     * buckets and this predicate is the exact per-candidate verifier; the
     * oracled form here runs it over the full (bounded) pair space. */
   def d9EmbedDup(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val q = quantized(s, dir)
       .withColumn("nrm", dotCol(col("qv"), col("qv")))
     val a = q.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
                      col("nrm").as("na"))
     val b = q.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
                      col("nrm").as("nb"))
+    // Catalyst pushes the threshold filter into the join condition, where
+    // the dot product is referenced 3x per pair — dot_i64 is a native
+    // Expression (primitive long-array loop), so the re-evaluation is
+    // cheap, unlike an interpreted aggregate(zip_with(...)) lambda chain
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("dot", dotCol(col("qa"), col("qb")))
       .filter(col("dot") > 0 &&
@@ -218,6 +227,7 @@ object CorpusOps {
     * only, so the corpus side never all-pairs. Rows-only (centroid ids are
     * engine-internal); recall vs e1 gated in OperatorSpec. */
   def e3AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val k = 8
     val nprobe = 3
     val q = quantized(s, dir).withColumn("nrm", dotCol(col("qv"), col("qv")))
@@ -279,18 +289,15 @@ object CorpusOps {
     * the exact baseline for similarity search. Rank key dot/sqrt(norm) is
     * a deterministic double over integer inputs in any engine. */
   def e1KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val q = quantized(s, dir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"))
     val n = quantized(s, dir)
       .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"))
     // broadcast the QUERY side — the corpus side is the 100 TB one
     val scored = n.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("dot", aggregate(
-        zip_with(col("qa"), col("qb"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("nb", aggregate(
-        zip_with(col("qb"), col("qb"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("dot", dotCol(col("qa"), col("qb")))
+      .withColumn("nb", dotCol(col("qb"), col("qb")))
       .withColumn("score", col("dot").cast("double") /
                            sqrt(col("nb").cast("double")))
     val w = Window.partitionBy(col("query_id"))
@@ -324,12 +331,8 @@ object CorpusOps {
     val scored = n.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("dot", aggregate(
-        zip_with(col("qa"), col("qb"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
-      .withColumn("nb", aggregate(
-        zip_with(col("qb"), col("qb"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("dot", dotCol(col("qa"), col("qb")))
+      .withColumn("nb", dotCol(col("qb"), col("qb")))
       .withColumn("score", col("dot").cast("double") /
                            sqrt(col("nb").cast("double")))
     val w = Window.partitionBy(col("query_id"))

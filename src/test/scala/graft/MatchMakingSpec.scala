@@ -53,6 +53,29 @@ class MatchMakingSpec extends AnyFunSuite {
     assert(LayoutSegment.segment(lines, 320, 400).size == 1)
   }
 
+  test("F8 wide-Text probe: zero wide blocks on two-column goldens") {
+    // the reference's data-quality query flags Text blocks wider than the
+    // column width as missed 2-column splits (textheight-median.py:260-263,
+    // visualizer-test.py:152-156); on our goldens the count must be zero
+    val docId = "F1999100"
+    val crop = graft.kernel.CropConfig.lookup(docId)
+    val bodyW = PageRenderer.LogicalW - crop.left - crop.right
+    var checked = 0
+    for (page <- 1 to 120 if checked < 6) {
+      if (PageRenderer.layoutFor(docId, page).twoCol.isDefined &&
+          PageRenderer.storedRotation(docId, page) == 0) {
+        val pr = Recognize.recognizeStored(PageRenderer.render(docId, page), crop)
+        val blocks = LayoutSegment.segment(pr.lines, bodyW,
+          PageRenderer.LogicalH - crop.top - crop.bottom)
+        assert(blocks.size >= 2, s"page $page merged into one block")
+        val wide = blocks.filter(b => b.bbox.w > (bodyW * 8) / 10)
+        assert(wide.isEmpty, s"page $page wide-Text blocks: $wide")
+        checked += 1
+      }
+    }
+    assert(checked == 6, s"only $checked two-col pages probed")
+  }
+
   test("two-column page roundtrip: column reading order recovered") {
     val docId = "F1999100"
     val crop = graft.kernel.CropConfig.lookup(docId)

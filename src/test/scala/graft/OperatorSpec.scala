@@ -115,6 +115,29 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("dot_i64 native expression matches the reference dot product") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new graft.synth.Rng(99L)
+    val rows = Vector.tabulate(50) { i =>
+      (i.toLong, Seq.fill(16)((rng.nextInt(2001) - 1000).toLong),
+       Seq.fill(16)((rng.nextInt(2001) - 1000).toLong))
+    }
+    val got = rows.toDF("id", "a", "b")
+      .selectExpr("id", "dot_i64(a, b) AS d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, a, b) <- rows)
+      assert(got(id) == a.zip(b).map { case (x, y) => x * y }.sum, s"id=$id")
+    // length mismatch must fail loudly, not truncate silently
+    val e = intercept[Throwable] {
+      Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+        .selectExpr("dot_i64(a, b)").collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("length mismatch"), msgs)
+  }
+
   test("d8: fingerprints are stable and collide for identical docs") {
     val fp = CorpusOps.d8Fingerprints(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -1,0 +1,78 @@
+package graft
+
+import graft.pipeline.{ExtractJob, SnapshotTable}
+import graft.synth.CorpusGen
+import org.apache.spark.sql.SparkSession
+
+/** Production entry point (spark-submit --class graft.Main).
+  *
+  * Subcommands:
+  *   gen <snapshotDir> <nDocs> [heavyEvery]
+  *     Write a deterministic interleaved-span corpus as a bucketed
+  *     snapshot table (the zero-egress stand-in for corpus ingest).
+  *   extract <snapshotDir> <outDir> <ckptDir> [buckets] [worklistCsv]
+  *     Run the extraction pipeline: pinned-snapshot read → checkpoint
+  *     anti-join (resume) → fused kernel + exploded skew path → output,
+  *     lineage and checkpoint. Re-running after a kill processes only
+  *     unfinished docs. worklistCsv (header: doc_id) restricts the run
+  *     to listed docs (the reference's CSV-driven selective reprocessing).
+  *   tables <snapshotDir> <outDir> <worklistCsv>
+  *     Selective table-structure pass; CSV header:
+  *     doc_id,page_number,full_page,table_boxes.
+  *
+  * On a cluster, master/executors come from spark-submit; local runs get
+  * a sensible default. */
+object Main {
+
+  private def session(app: String): SparkSession = {
+    val b = SparkSession.builder().appName(app)
+      .config("spark.sql.session.timeZone", "UTC")
+    // master comes from spark-submit on a cluster; fall back for bare
+    // JVM launches (sbt runMain, tests)
+    val withMaster =
+      if (new org.apache.spark.SparkConf().contains("spark.master")) b
+      else b.master("local[*]")
+    withMaster.getOrCreate()
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "gen" :: dir :: n :: rest =>
+      val spark = session("graft-gen")
+      import spark.implicits._
+      val heavyEvery = rest.headOption.map(_.toInt).getOrElse(50)
+      val (inputs, _) = CorpusGen.corpus(n.toInt, heavyEvery = heavyEvery)
+      val id = SnapshotTable.write(inputs.toDS().toDF(), dir, buckets = 64)
+      println(s"GEN snapshot=$id docs=${inputs.size} dir=$dir")
+      spark.stop()
+
+    case "extract" :: in :: out :: ckpt :: rest =>
+      val spark = session("graft-extract")
+      val buckets = rest.headOption.map(_.toInt)
+        .getOrElse(spark.sparkContext.defaultParallelism * 4)
+      val worklist = rest.drop(1).headOption.map(p =>
+        spark.read.option("header", "true").csv(p))
+      val sum = ExtractJob.run(spark, in, out, ckpt,
+        ExtractJob.Config(buckets = buckets), worklist)
+      println(s"EXTRACT snapshot=${sum.snapshotId} " +
+              s"docs_this_run=${sum.docsThisRun} docs_done=${sum.docsProcessed}")
+      spark.stop()
+
+    case "tables" :: in :: out :: wlCsv :: Nil =>
+      val spark = session("graft-tables")
+      import spark.implicits._
+      val (df, snapId) = SnapshotTable.read(spark, in)
+      val wl = spark.read.option("header", "true").csv(wlCsv)
+      val res = ExtractJob.tableDataSelective(spark, df.as[graft.core.Doc], wl)
+      res.write.mode("overwrite").parquet(out)
+      println(s"TABLES snapshot=$snapId rows=${spark.read.parquet(out).count()}")
+      spark.stop()
+
+    case other =>
+      System.err.println(
+        s"""unknown args: ${other.mkString(" ")}
+           |usage: gen <dir> <nDocs> [heavyEvery]
+           |       extract <snapshotDir> <outDir> <ckptDir> [buckets] [worklistCsv]
+           |       tables <snapshotDir> <outDir> <worklistCsv>""".stripMargin)
+      sys.exit(2)
+  }
+}

@@ -67,12 +67,19 @@ object Main {
       println(s"TABLES snapshot=$snapId rows=${spark.read.parquet(out).count()}")
       spark.stop()
 
+    case "export" :: out :: json :: Nil =>
+      val spark = session("graft-export")
+      val n = ExtractJob.exportJson(spark, out, json)
+      println(s"EXPORT docs=$n dir=$json")
+      spark.stop()
+
     case other =>
       System.err.println(
         s"""unknown args: ${other.mkString(" ")}
            |usage: gen <dir> <nDocs> [heavyEvery]
            |       extract <snapshotDir> <outDir> <ckptDir> [buckets] [worklistCsv]
-           |       tables <snapshotDir> <outDir> <worklistCsv>""".stripMargin)
+           |       tables <snapshotDir> <outDir> <worklistCsv>
+           |       export <outDir> <jsonDir>""".stripMargin)
       sys.exit(2)
   }
 }

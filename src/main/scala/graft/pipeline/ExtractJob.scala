@@ -164,6 +164,21 @@ object ExtractJob {
     spark.read.parquet(outPath).select("doc_id", "spans").as[Doc]
   }
 
+  /** S6 analog — the reference's result sink is one JSON per document
+    * under its year directory (`result_json/<year>/F….json`,
+    * joradp_parse.py:156-157; year = id chars 1..4,
+    * joradp_correct_add_table_data.py:244). Export the extraction output
+    * as year-partitioned JSON-lines: partition pruning on year replaces
+    * the reference's per-year directory walk. Returns docs exported. */
+  def exportJson(spark: SparkSession, outPath: String, jsonDir: String): Long = {
+    import org.apache.spark.sql.functions.{struct, substring, to_json}
+    val df = spark.read.parquet(outPath)
+      .select(substring(col("doc_id"), 2, 4).as("year"),
+              to_json(struct(col("doc_id"), col("spans"))).as("value"))
+    df.write.mode(SaveMode.Overwrite).partitionBy("year").text(jsonDir)
+    spark.read.text(jsonDir).count()
+  }
+
   /** Selective table-structure pass — the Spark lifecycle equivalent of
     * joradp_correct_add_table_data.py (SURVEY §3.3): one work-list row per
     * (doc, page) with either `full_page = true` (the table bbox is the

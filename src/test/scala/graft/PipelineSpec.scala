@@ -134,6 +134,33 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r2.docsThisRun == 5 && r2.docsProcessed == 8)
   }
 
+  test("JSON export: year-partitioned sink roundtrips the span arrays (S6)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val in = tmp("jin"); val out = tmp("jout"); val ck = tmp("jck")
+    val json = tmp("jjson")
+    val (inputs, goldens) = CorpusGen.corpus(8)
+    SnapshotTable.write(inputs.toDS.toDF, in, buckets = 2)
+    ExtractJob.run(spark, in, out, ck)
+    assert(ExtractJob.exportJson(spark, out, json) == 8)
+    // year=<yyyy> partition dirs, like the reference's result_json/<year>/
+    val years = new java.io.File(json).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("year="))
+    assert(years.nonEmpty && years.forall(_.matches("year=\\d{4}")))
+    // payload parses back to the exact golden span sequences
+    val schema = StructType(Seq(
+      StructField("doc_id", StringType),
+      StructField("spans", ArrayType(StructType(Seq(
+        StructField("kind", StringType), StructField("text", StringType),
+        StructField("media_ref", StringType),
+        StructField("offset", IntegerType)))))))
+    val back = spark.read.text(json)
+      .select(from_json(col("value"), schema).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.spans").as("spans"))
+      .as[Doc].collect().toSeq
+    assertSpanEquality(back, goldens)
+  }
+
   test("selective table pass: explicit boxes + full-page fallback (§3.3)") {
     import graft.synth.PageRenderer
     import spark.implicits._

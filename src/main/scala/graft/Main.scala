@@ -67,6 +67,12 @@ object Main {
       println(s"TABLES snapshot=$snapId rows=${spark.read.parquet(out).count()}")
       spark.stop()
 
+    case "stream" :: in :: out :: ckpt :: Nil =>
+      val spark = session("graft-stream")
+      val n = graft.streaming.StreamingExtract.runAvailableNow(spark, in, out, ckpt)
+      println(s"STREAM docs_this_run=$n out=$out")
+      spark.stop()
+
     case "export" :: out :: json :: Nil =>
       val spark = session("graft-export")
       val n = ExtractJob.exportJson(spark, out, json)
@@ -79,6 +85,7 @@ object Main {
            |usage: gen <dir> <nDocs> [heavyEvery]
            |       extract <snapshotDir> <outDir> <ckptDir> [buckets] [worklistCsv]
            |       tables <snapshotDir> <outDir> <worklistCsv>
+           |       stream <inputDir> <outDir> <streamCkptDir>
            |       export <outDir> <jsonDir>""".stripMargin)
       sys.exit(2)
   }

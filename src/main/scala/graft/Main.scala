@@ -67,6 +67,16 @@ object Main {
       println(s"TABLES snapshot=$snapId rows=${spark.read.parquet(out).count()}")
       spark.stop()
 
+    case "reocr" :: in :: out :: wlCsv :: Nil =>
+      val spark = session("graft-reocr")
+      import spark.implicits._
+      val (df, snapId) = SnapshotTable.read(spark, in)
+      val wl = spark.read.option("header", "true").csv(wlCsv)
+      ExtractJob.reOcrSelective(spark, df.as[graft.core.Doc], wl)
+        .write.mode("overwrite").parquet(out)
+      println(s"REOCR snapshot=$snapId rows=${spark.read.parquet(out).count()}")
+      spark.stop()
+
     case "stream" :: in :: out :: ckpt :: Nil =>
       val spark = session("graft-stream")
       val n = graft.streaming.StreamingExtract.runAvailableNow(spark, in, out, ckpt)
@@ -85,6 +95,7 @@ object Main {
            |usage: gen <dir> <nDocs> [heavyEvery]
            |       extract <snapshotDir> <outDir> <ckptDir> [buckets] [worklistCsv]
            |       tables <snapshotDir> <outDir> <worklistCsv>
+           |       reocr <snapshotDir> <outDir> <worklistCsv>
            |       stream <inputDir> <outDir> <streamCkptDir>
            |       export <outDir> <jsonDir>""".stripMargin)
       sys.exit(2)

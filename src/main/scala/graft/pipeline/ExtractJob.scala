@@ -179,6 +179,35 @@ object ExtractJob {
     spark.read.text(jsonDir).count()
   }
 
+  /** Selective page re-OCR — the Spark equivalent of
+    * joradp_correct_add_missing_bboxes.py (SURVEY §3.3 sibling): a
+    * work-list of (doc_id, page_number) rows from the failure-report CSV
+    * selects exactly the pages to re-recognize
+    * (parse_images_to_text_structure_selective_heavy,
+    * pdf_parser.py:320-384). Page numbers are media-span ordinals
+    * (cover = 0); out-of-range indices simply don't join and are dropped,
+    * the reference's warn-and-drop (pdf_parser.py:205-209). Emits one row
+    * per re-OCR'd page with the recognized text and its glyph count. */
+  def reOcrSelective(spark: SparkSession, input: Dataset[Doc],
+      worklist: DataFrame, cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val store = cfg.store
+    val wl = worklist.select(col("doc_id"), col("page_number").cast("int"))
+    val pages = input.flatMap { doc =>
+      doc.spans.filter(_.kind == "media").sortBy(_.offset).zipWithIndex
+        .map { case (s, pn) => (doc.doc_id, pn, s.media_ref) }
+    }.toDF("doc_id", "page_number", "media_ref")
+    pages.join(broadcast(wl), Seq("doc_id", "page_number"))
+      .as[(String, Int, String)]
+      .mapPartitions { it =>
+        it.map { case (docId, pn, ref) =>
+          val crop = graft.kernel.CropConfig.lookup(docId)
+          val pr = graft.kernel.Recognize.recognizeStored(store.decode(ref), crop)
+          (docId, pn, ref, pr.text, pr.glyphCount)
+        }
+      }.toDF("doc_id", "page_number", "media_ref", "text", "glyph_count")
+  }
+
   /** Selective table-structure pass — the Spark lifecycle equivalent of
     * joradp_correct_add_table_data.py (SURVEY §3.3): one work-list row per
     * (doc, page) with either `full_page = true` (the table bbox is the

@@ -205,6 +205,27 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("selective page re-OCR: listed pages only, invalid indices dropped") {
+    import graft.synth.PageRenderer
+    import spark.implicits._
+    val (inputs, goldens) = CorpusGen.corpus(10)
+    // pick a doc with >= 3 media spans (cover + 2 content pages)
+    val doc = inputs.find(_.spans.count(_.kind == "media") >= 3).get
+    val wl = Seq((doc.doc_id, 1), (doc.doc_id, 2), (doc.doc_id, 99))
+      .toDF("doc_id", "page_number")
+    val rows = ExtractJob.reOcrSelective(spark, inputs.toDS(), wl).collect()
+    assert(rows.length == 2, s"expected 2 rows, got ${rows.length}")
+    val gold = goldens.find(_.doc_id == doc.doc_id).get
+    val mediaGold = gold.spans.filter(_.kind == "media").sortBy(_.offset)
+    for (r <- rows) {
+      val pn = r.getAs[Int]("page_number")
+      // golden media span pn-1 (cover excluded from goldens)
+      assert(r.getAs[String]("text") == mediaGold(pn - 1).text,
+             s"re-OCR mismatch page $pn")
+      assert(r.getAs[Long]("glyph_count") > 0)
+    }
+  }
+
   test("parquet scan prunes columns and pushes filters (q1 plan)") {
     val plan = graft.operators.RelationalOps
       .q1Pricing(spark, "/root/testdata/sf0.001")

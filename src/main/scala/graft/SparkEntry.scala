@@ -60,6 +60,7 @@ object SparkEntry {
     "x3_layout_segment" -> ((s, _) => layoutSegments(s, 48)),
     "x4_media_stats" -> ((s, _) => mediaStats(s, 48)),
     "x5_table_selective" -> ((s, _) => tableSelective(s, 48)),
+    "x6_table_eval" -> ((s, _) => tableEval(s, 96)),
     "q12_json_extract" -> ((s, d) => RelationalOps.q12JsonExtract(s, d)),
   )
 
@@ -167,6 +168,69 @@ object SparkEntry {
               col("x1"), col("y1"), col("x2"), col("y2"), col("n_cells"),
               concat_ws("|", flatten(col("grid"))).as("grid_flat"))
       .orderBy("doc_id", "page_number", "table_idx")
+  }
+
+  /** Greedy best-IoU matching at threshold 0.5, the reference's eval rule
+    * (test_tables.py:279-332): TP if best IoU >= 0.5 and the GT box is
+    * unclaimed, else FP; unclaimed GT boxes are FN. */
+  private def iouCounts(preds: Seq[graft.core.BBox],
+                        gts: Seq[graft.core.BBox]): (Int, Int, Int) = {
+    var tp = 0
+    var fp = 0
+    val matched = scala.collection.mutable.Set[Int]()
+    for (p <- preds) {
+      var bestIou = 0.0
+      var bestIdx = -1
+      for ((g, i) <- gts.zipWithIndex) {
+        val iou = p.iou(g)
+        if (iou > bestIou) { bestIou = iou; bestIdx = i }
+      }
+      if (bestIou >= 0.5 && bestIdx >= 0 && !matched(bestIdx)) {
+        tp += 1; matched += bestIdx
+      } else fp += 1
+    }
+    (tp, fp, gts.size - matched.size)
+  }
+
+  /** The reference's evaluation harness (test_tables.py main) as a
+    * distributed job: detector output vs planted ground truth per page
+    * (J4 IoU best-match), precision/recall counters aggregated globally
+    * (A8; integer-e6 rates). One summary row. */
+  private def tableEval(spark: SparkSession, nDocs: Int): DataFrame = {
+    import spark.implicits._
+    import graft.synth.PageRenderer
+    val pages = (0 until nDocs).flatMap { i =>
+      val docId = CorpusGen.docIdFor(i)
+      (1 to 8).collect {
+        case p if PageRenderer.layoutFor(docId, p).table.isDefined &&
+                  PageRenderer.storedRotation(docId, p) == 0 => (docId, p)
+      }
+    }
+    val perPage = pages.toDS().repartition(8).map { case (docId, page) =>
+      val spec = PageRenderer.layoutFor(docId, page).table.get
+      val stored = PageRenderer.render(docId, page)
+      val tables = graft.kernel.TableDetect.detectTables(stored)
+      val (ttp, tfp, tfn) = iouCounts(tables, Seq(spec.bbox2x))
+      val cells = tables.headOption
+        .map(b => graft.kernel.TableDetect.detectTableCells(stored, b))
+        .getOrElse(Seq.empty)
+      val (ctp, cfp, cfn) = iouCounts(cells, spec.cells2x)
+      (1L, ttp.toLong, tfp.toLong, tfn.toLong, ctp.toLong, cfp.toLong, cfn.toLong)
+    }.toDF("pages", "t_tp", "t_fp", "t_fn", "c_tp", "c_fp", "c_fn")
+    perPage
+      .agg(sum("pages").as("n_pages"),
+           sum("t_tp").as("table_tp"), sum("t_fp").as("table_fp"),
+           sum("t_fn").as("table_fn"),
+           sum("c_tp").as("cell_tp"), sum("c_fp").as("cell_fp"),
+           sum("c_fn").as("cell_fn"))
+      .withColumn("table_prec_e6",
+        expr("table_tp * 1000000 div greatest(1, table_tp + table_fp)"))
+      .withColumn("table_rec_e6",
+        expr("table_tp * 1000000 div greatest(1, table_tp + table_fn)"))
+      .withColumn("cell_prec_e6",
+        expr("cell_tp * 1000000 div greatest(1, cell_tp + cell_fp)"))
+      .withColumn("cell_rec_e6",
+        expr("cell_tp * 1000000 div greatest(1, cell_tp + cell_fn)"))
   }
 
   /** DuckDB oracles (same parquet tables registered by table name). Omitted

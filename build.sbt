@@ -23,11 +23,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap is CLAMPED to 16g no matter what SPARK_DRIVER_MEM asks for:
+// Xms=Xmx + AlwaysPreTouch below commit the whole heap at startup, and the
+// bench spawns pinned child JVMs that inherit these flags — an oversized
+// request (observed: ~89g in the round-1 driver run) commits 2x the host's
+// RAM across parent+child and gets the runner OOM-killed (exit 137).
+val driverMem: String = {
+  val req = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g").trim.toLowerCase
+  val gb: Double =
+    try {
+      if (req.endsWith("g")) req.dropRight(1).toDouble
+      else if (req.endsWith("m")) req.dropRight(1).toDouble / 1024.0
+      else req.toDouble / (1024.0 * 1024 * 1024)
+    } catch { case _: NumberFormatException => 16.0 }
+  if (gb > 16.0 || gb <= 0.0) "16g" else req
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx$driverMem",
+  s"-Xms$driverMem",
   // stable young gen: G1's adaptive resizing oscillates badly when the
   // 32-thread kernel phases alternate with relational phases
   "-XX:+UnlockExperimentalVMOptions",

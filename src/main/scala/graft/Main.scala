@@ -38,11 +38,12 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "gen" :: dir :: n :: rest =>
       val spark = session("graft-gen")
-      import spark.implicits._
       val heavyEvery = rest.headOption.map(_.toInt).getOrElse(50)
-      val (inputs, _) = CorpusGen.corpus(n.toInt, heavyEvery = heavyEvery)
-      val id = SnapshotTable.write(inputs.toDS().toDF(), dir, buckets = 64)
-      println(s"GEN snapshot=$id docs=${inputs.size} dir=$dir")
+      // distributed generation: genDoc(i) is seed-pure, the corpus never
+      // materializes on the driver (north_rule scale)
+      val ds = CorpusGen.inputDS(spark, n.toInt, heavyEvery = heavyEvery)
+      val id = SnapshotTable.write(ds.toDF(), dir, buckets = 64)
+      println(s"GEN snapshot=$id docs=$n dir=$dir")
       spark.stop()
 
     case "extract" :: in :: out :: ckpt :: rest =>

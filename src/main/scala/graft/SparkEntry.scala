@@ -16,8 +16,7 @@ object SparkEntry {
 
   private def extractSpans(spark: SparkSession, nDocs: Int): DataFrame = {
     import spark.implicits._
-    val (inputs, _) = CorpusGen.corpus(nDocs)
-    val out = ExtractJob.extract(spark, inputs.toDS(),
+    val out = ExtractJob.extract(spark, CorpusGen.inputDS(spark, nDocs),
       ExtractJob.Config(buckets = math.min(32, nDocs), skewSpanThreshold = 9))
     out.select(col("doc_id"), explode(col("spans")).as("span"))
       .select(col("doc_id"), col("span.offset").as("offset"),
@@ -73,10 +72,9 @@ object SparkEntry {
     * shape) is the real thing. */
   private def mediaStats(spark: SparkSession, nDocs: Int): DataFrame = {
     import spark.implicits._
-    val (inputs, _) = CorpusGen.corpus(nDocs)
-    val media = inputs.flatMap(d =>
+    val media = CorpusGen.inputDS(spark, nDocs).flatMap(d =>
       d.spans.filter(_.kind == "media").map(sp => (d.doc_id, sp.offset, sp.media_ref)))
-    media.toDS().repartition(8).mapPartitions { it =>
+    media.repartition(8).mapPartitions { it =>
       it.map { case (docId, off, ref) =>
         val g = graft.synth.PageRenderer.decode(ref)
         val t = graft.img.Otsu.threshold(g)
@@ -96,17 +94,25 @@ object SparkEntry {
 
   /** Classical table detection over synthetic pages with planted tables
     * (T9-T12 path): distributed page-parallel kernel work. */
-  private def tableDetect(spark: SparkSession, nDocs: Int): DataFrame = {
+  /** Distributed (doc, page) work-list of upright planted-table pages —
+    * layoutFor/storedRotation are seed-pure, so the scan is a map over
+    * spark.range, never a driver loop. */
+  private def tablePages(spark: SparkSession, nDocs: Int) = {
     import spark.implicits._
     import graft.synth.PageRenderer
-    val pages = (0 until nDocs).flatMap { i =>
-      val docId = CorpusGen.docIdFor(i)
+    spark.range(nDocs).flatMap { i =>
+      val docId = CorpusGen.docIdFor(i.toInt)
       (1 to 8).collect {
         case p if PageRenderer.layoutFor(docId, p).table.isDefined &&
                   PageRenderer.storedRotation(docId, p) == 0 => (docId, p)
       }
     }
-    pages.toDS().repartition(8).mapPartitions { it =>
+  }
+
+  private def tableDetect(spark: SparkSession, nDocs: Int): DataFrame = {
+    import spark.implicits._
+    import graft.synth.PageRenderer
+    tablePages(spark, nDocs).repartition(8).mapPartitions { it =>
       it.flatMap { case (docId, page) =>
         val stored = PageRenderer.render(docId, page)
         graft.kernel.TableDetect.detectTables(stored).zipWithIndex.map {
@@ -124,11 +130,11 @@ object SparkEntry {
   private def layoutSegments(spark: SparkSession, nDocs: Int): DataFrame = {
     import spark.implicits._
     import graft.synth.PageRenderer
-    val pages = (0 until nDocs).flatMap { i =>
-      val docId = CorpusGen.docIdFor(i)
+    val pages = spark.range(nDocs).flatMap { i =>
+      val docId = CorpusGen.docIdFor(i.toInt)
       (1 to 4).map(p => (docId, p))
     }
-    pages.toDS().repartition(8).mapPartitions { it =>
+    pages.repartition(8).mapPartitions { it =>
       it.flatMap { case (docId, page) =>
         val crop = graft.kernel.CropConfig.lookup(docId)
         val pr = graft.kernel.Recognize.recognizeStored(
@@ -149,8 +155,8 @@ object SparkEntry {
   private def tableSelective(spark: SparkSession, nDocs: Int): DataFrame = {
     import spark.implicits._
     import graft.synth.PageRenderer
-    val (inputs, _) = CorpusGen.corpus(nDocs)
-    val wlRows = inputs.flatMap { d =>
+    val inputs = CorpusGen.inputDS(spark, nDocs)
+    val wl = inputs.flatMap { d =>
       val nMedia = d.spans.count(_.kind == "media")
       (1 until nMedia).flatMap { pn =>
         val lay = PageRenderer.layoutFor(d.doc_id, pn)
@@ -161,9 +167,8 @@ object SparkEntry {
                 s"[[${gt.x1},${gt.y1},${gt.x2},${gt.y2}]]"))
         } else None
       }
-    }
-    val wl = wlRows.toDF("doc_id", "page_number", "full_page", "table_boxes")
-    graft.pipeline.ExtractJob.tableDataSelective(spark, inputs.toDS(), wl)
+    }.toDF("doc_id", "page_number", "full_page", "table_boxes")
+    graft.pipeline.ExtractJob.tableDataSelective(spark, inputs, wl)
       .select(col("doc_id"), col("page_number"), col("table_idx"),
               col("x1"), col("y1"), col("x2"), col("y2"), col("n_cells"),
               concat_ws("|", flatten(col("grid"))).as("grid_flat"))
@@ -199,14 +204,7 @@ object SparkEntry {
   private def tableEval(spark: SparkSession, nDocs: Int): DataFrame = {
     import spark.implicits._
     import graft.synth.PageRenderer
-    val pages = (0 until nDocs).flatMap { i =>
-      val docId = CorpusGen.docIdFor(i)
-      (1 to 8).collect {
-        case p if PageRenderer.layoutFor(docId, p).table.isDefined &&
-                  PageRenderer.storedRotation(docId, p) == 0 => (docId, p)
-      }
-    }
-    val perPage = pages.toDS().repartition(8).map { case (docId, page) =>
+    val perPage = tablePages(spark, nDocs).repartition(8).map { case (docId, page) =>
       val spec = PageRenderer.layoutFor(docId, page).table.get
       val stored = PageRenderer.render(docId, page)
       val tables = graft.kernel.TableDetect.detectTables(stored)
@@ -239,22 +237,28 @@ object SparkEntry {
     * ScalaTest oracles instead. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(28,4)) AS sum_disc_price,
-         COUNT(*) AS count_order
-         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+      """WITH e AS (
+           SELECT l_returnflag, l_linestatus,
+                  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_e2,
+                  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_e2,
+                  CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS disc_e2
+           FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+         SELECT l_returnflag, l_linestatus,
+                CAST(SUM(qty_e2) AS BIGINT) AS sum_qty_e2,
+                CAST(SUM(price_e2) AS BIGINT) AS sum_base_price_e2,
+                CAST(SUM(price_e2 * (100 - disc_e2)) AS BIGINT) AS sum_disc_price_e4,
+                COUNT(*) AS count_order
+         FROM e GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     "q2_segment_revenue" ->
       """SELECT c_mktsegment, COUNT(*) AS n_orders,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_e2
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q3_best_order" ->
-      """SELECT o_custkey, best_order, best_price FROM (
+      """SELECT o_custkey, best_order, best_price_e2 FROM (
            SELECT o_custkey, o_orderkey AS best_order,
-                  CAST(o_totalprice AS DECIMAL(18,2)) AS best_price,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS best_price_e2,
                   ROW_NUMBER() OVER (PARTITION BY o_custkey
                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders) WHERE rn = 1 ORDER BY o_custkey""",
@@ -358,7 +362,9 @@ object SparkEntry {
                   tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS g,
                   LEAD(tok, 2) OVER w AS t2
            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
-         tri AS (SELECT DISTINCT doc_id, g FROM tri0 WHERE t2 IS NOT NULL),
+         tri_all AS (SELECT DISTINCT doc_id, g FROM tri0 WHERE t2 IS NOT NULL),
+         keep AS (SELECT g FROM tri_all GROUP BY g HAVING COUNT(*) <= 50),
+         tri AS (SELECT tri_all.doc_id, tri_all.g FROM tri_all JOIN keep USING (g)),
          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY doc_id),
          inter AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter

@@ -38,13 +38,26 @@ object CorpusOps {
       .distinct()
   }
 
+  /** Document-frequency cap for d2 shingles: a shingle appearing in more
+    * than this many documents (boilerplate phrase) is dropped before the
+    * pair self-join. Without it one hot shingle makes the `a.g = b.g` join
+    * quadratic on that key — the 100 TB killer. The cap is part of the
+    * operator's semantics (mirrored in the DuckDB oracle): standard
+    * stopword-shingle removal from the MinHash-dedup literature. */
+  val ShingleDfCap = 50
+
   /** d2: exact n-gram Jaccard near-dup pairs — pair join on shared
     * shingles (never all-pairs), integer-scaled similarity. The shingle
     * table feeds 4 subplans (both join sides + both size lookups), so it
     * is materialized once — at production scale this is a written-out
-    * intermediate table, not a recompute. */
+    * intermediate table, not a recompute. Hot shingles (df > ShingleDfCap)
+    * are removed with a broadcast anti-join against the (tiny) hot-shingle
+    * table, so no join key ever exceeds ShingleDfCap rows per side. */
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir, 300L)
+    val all = shingles(s, dir, 300L)
+    val hot = all.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > ShingleDfCap).select(col("g"))
+    val sh = all.join(broadcast(hot), Seq("g"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
@@ -187,32 +200,59 @@ object CorpusOps {
                      b: org.apache.spark.sql.Column) =
     call_function("dot_i64", a, b)
 
+  /** d9 LSH blocking parameters: `D9Tables` sign-projection hash tables of
+    * `D9Bits` bits each. At the 0.40 threshold (collision prob per bit
+    * 0.63) short 2-bit buckets x 16 tables give verified-100% recall on
+    * the test embeddings at sf0.01 AND sf0.1 (pinned by OperatorSpec
+    * against the all-pairs predicate). At production thresholds
+    * (cos >= 0.7-0.9, per-bit prob 0.86-0.95) the same operator blocks
+    * sharply with wider buckets — bits scale with the threshold, tables
+    * with target recall. */
+  val D9Bits = 2
+  val D9Tables = 16
+  private def d9Seed(t: Int): Long = 1000003L * t + 42L
+
   /** d9: embedding-cosine near-duplicate pairs with an EXACT integer
     * predicate — cos(a,b) >= 0.40 ⟺ dot > 0 ∧ 25·dot² >= 4·‖a‖²·‖b‖²
     * (0.40² = 4/25; quantized int64 vectors, no float compare anywhere,
     * so the boundary is bit-identical in any engine → DuckDB-oracled).
     * Bounds: |dot| <= 64·10⁶ → 25·dot² <= 1.1e17, well inside int64.
-    * At 100 TB the pair space is first blocked by the e2 LSH / e3 IVF
-    * buckets and this predicate is the exact per-candidate verifier; the
-    * oracled form here runs it over the full (bounded) pair space. */
+    *
+    * The pair space is the multi-table sign-LSH bucket join (equi-join on
+    * (table, bucket) — the candidate side shuffles by bucket and stays
+    * fully distributed; there is no all-pairs broadcast nested-loop
+    * anywhere, pinned by a plan-shape test), and the integer predicate is
+    * the exact per-candidate verifier. Same shape as e2; the only
+    * difference is verifying a threshold instead of ranking top-k. */
   def d9EmbedDup(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val q = quantized(s, dir)
+      .join(table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+            "vec_id")
       .withColumn("nrm", dotCol(col("qv"), col("qv")))
-    val a = q.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
-                     col("nrm").as("na"))
-    val b = q.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
-                     col("nrm").as("nb"))
-    // Catalyst pushes the threshold filter into the join condition, where
-    // the dot product is referenced 3x per pair — dot_i64 is a native
-    // Expression (primitive long-array loop), so the re-evaluation is
-    // cheap, unlike an interpreted aggregate(zip_with(...)) lambda chain
-    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+    val bands = q.select(col("vec_id"), col("qv"), col("nrm"),
+      explode(array((0 until D9Tables).map(t =>
+        struct(lit(t).as("tbl"),
+               expr(s"lsh_bucket(embedding, $D9Bits, ${d9Seed(t)})")
+                 .as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("qv"), col("nrm"),
+              col("tb.tbl"), col("tb.bucket"))
+    val a = bands.select(col("vec_id").as("vec_a"), col("qv").as("qa"),
+                         col("nrm").as("na"), col("tbl"), col("bucket"))
+    val b = bands.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
+                         col("nrm").as("nb"), col("tbl"), col("bucket"))
+    // verify BEFORE dedup: the exact predicate runs map-side on each
+    // bucket-collision instance (native dot_i64, cheap), so only passing
+    // pairs — a tiny set — ever shuffle through the duplicate removal;
+    // deduping first would shuffle every candidate with its vectors
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
       .withColumn("dot", dotCol(col("qa"), col("qb")))
       .filter(col("dot") > 0 &&
               col("dot") * col("dot") * lit(25L) >=
               col("na") * col("nb") * lit(4L))
       .select(col("vec_a"), col("vec_b"), col("dot"), col("na"), col("nb"))
+      .dropDuplicates("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
   }
 
@@ -231,32 +271,38 @@ object CorpusOps {
     val k = 8
     val nprobe = 3
     val q = quantized(s, dir).withColumn("nrm", dotCol(col("qv"), col("qv")))
-    val n = q.count()
+    val n = q.count() // one metadata action: sets the seeded-init stride
     val step = math.max(1L, n / k)
     val init = q
       .filter(col("vec_id") % step === 0 && col("vec_id") / step < k)
       .select((col("vec_id") / step).cast("int").as("cid"),
               col("qv").as("cv"))
-    // assign every vector to its argmax-cosine centroid (ties → lower
-    // cid). max_by + groupBy, not a window: partial aggregation collapses
-    // the N×K cross-join map-side, so only ~N rows ever shuffle.
-    def assign(cent: DataFrame): DataFrame =
-      q.crossJoin(broadcast(cent))
+    // assign each vector of `df` to its argmax-cosine centroid (ties →
+    // lower cid). max_by + groupBy, not a window: partial aggregation
+    // collapses the N×K cross-join map-side, so only ~N rows ever shuffle.
+    def assign(df: DataFrame, cent: DataFrame): DataFrame =
+      df.crossJoin(broadcast(cent))
         .withColumn("score",
           dotCol(col("qv"), col("cv")).cast("double") /
           sqrt(dotCol(col("cv"), col("cv")).cast("double")))
         .groupBy(col("vec_id"))
         .agg(first(col("qv")).as("qv"), first(col("nrm")).as("nrm"),
              max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
-    // one k-means refinement: per-dimension integer floor mean per cell
-    val refined = assign(init)
+    // one k-means refinement trained on a deterministic ~25% hash sample —
+    // the quantizer never scans the full corpus (at 100 TB training is a
+    // sample job; only the final assignment pass touches everything).
+    // Cells with no sampled member keep their init centroid (coalesce).
+    val train = q.filter(pmod(xxhash64(col("vec_id")), lit(4L)) === 0)
+    val means = assign(train, init)
       .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
       .groupBy(col("cid"), col("pos"))
       .agg(floor(avg(col("v"))).cast("long").as("m"))
       .groupBy(col("cid"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-                     x => x.getField("m")).as("cv"))
-    val lists = assign(refined) // inverted lists: vec_id → cell
+                     x => x.getField("m")).as("cv_trained"))
+    val refined = init.join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("cv_trained"), col("cv")).as("cv"))
+    val lists = assign(q, refined) // inverted lists: vec_id → cell
     val probes = q.filter(col("vec_id") < 10)
       .crossJoin(broadcast(refined))
       .withColumn("score",

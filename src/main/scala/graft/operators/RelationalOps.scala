@@ -15,22 +15,26 @@ object RelationalOps {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** q1: pricing summary — groupBy aggregate with decimal-exact sums
-    * (A8-style counters at relational scale). */
-  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+  /** q1: pricing summary — groupBy aggregate with integer-exact sums
+    * (A8-style counters at relational scale). Money crosses the oracle
+    * boundary as integer cents (BIGINT): DECIMAL physical encodings hash
+    * differently across engines even when values are identical
+    * (CORRECTNESS_r01 q1/q3 post-mortem), integer cents are bit-identical
+    * everywhere. _e2 = cents, _e4 = cents x discount-percent units. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val qtyE2 = (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    val priceE2 = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    val discE2 = (col("l_discount").cast("decimal(18,2)") * 100).cast("long")
     table(s, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("sum_base_price"),
-        sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(28,4)").as("sum_disc_price"),
+        sum(qtyE2).as("sum_qty_e2"),
+        sum(priceE2).as("sum_base_price_e2"),
+        sum(priceE2 * (lit(100L) - discE2)).as("sum_disc_price_e4"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
+  }
 
   /** q2: revenue per market segment — broadcast dim join (J1-class). */
   def q2SegmentRevenue(s: SparkSession, dir: String): DataFrame = {
@@ -40,8 +44,9 @@ object RelationalOps {
       .groupBy(col("c_mktsegment"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)"))
-          .cast("decimal(18,2)").as("revenue"))
+        // integer cents across the oracle boundary (see q1 note)
+        sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .as("revenue_e2"))
       .orderBy("c_mktsegment")
   }
 
@@ -55,7 +60,9 @@ object RelationalOps {
       .select(
         col("o_custkey"),
         col("o_orderkey").as("best_order"),
-        col("o_totalprice").cast("decimal(18,2)").as("best_price"))
+        // integer cents across the oracle boundary (see q1 note)
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("best_price_e2"))
       .orderBy("o_custkey")
   }
 

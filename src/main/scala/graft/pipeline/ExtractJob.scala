@@ -188,6 +188,33 @@ object ExtractJob {
     * (cover = 0); out-of-range indices simply don't join and are dropped,
     * the reference's warn-and-drop (pdf_parser.py:205-209). Emits one row
     * per re-OCR'd page with the recognized text and its glyph count. */
+  /** Warn-and-drop accounting for the selective passes: every selective
+    * result emits >= 1 row per matched (doc, page), so work-list rows
+    * absent from the result are exactly the ones the inner join dropped
+    * (out-of-range page index, unknown doc — the reference warns and skips
+    * these, pdf_parser.py:205-209). The result is persisted so the report
+    * does not recompute the corpus scan; callers get the dropped count on
+    * stderr instead of a silent shrink (a 1-based-page-number work-list now
+    * announces itself instead of quietly halving). */
+  private def withUnmatchedWarning(res: DataFrame, wl: DataFrame,
+                                   pass: String): DataFrame = {
+    val cached = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = wl.select(col("doc_id"), col("page_number"))
+      .join(cached.select(col("doc_id"), col("page_number")),
+            Seq("doc_id", "page_number"), "left_anti")
+    val droppedRows = dropped.limit(21).collect()
+    if (droppedRows.nonEmpty) {
+      val shown = droppedRows.take(20)
+        .map(r => s"(${r.get(0)},${r.get(1)})").mkString(", ")
+      val more = if (droppedRows.length > 20) ", ..." else ""
+      System.err.println(
+        s"[graft] $pass: work-list rows matched no page and were dropped: " +
+        s"$shown$more — page_number is the 0-based media-span ordinal " +
+        "(cover = 0); a 1-based work-list shifts every page")
+    }
+    cached
+  }
+
   def reOcrSelective(spark: SparkSession, input: Dataset[Doc],
       worklist: DataFrame, cfg: Config = Config()): DataFrame = {
     import spark.implicits._
@@ -197,7 +224,7 @@ object ExtractJob {
       doc.spans.filter(_.kind == "media").sortBy(_.offset).zipWithIndex
         .map { case (s, pn) => (doc.doc_id, pn, s.media_ref) }
     }.toDF("doc_id", "page_number", "media_ref")
-    pages.join(broadcast(wl), Seq("doc_id", "page_number"))
+    val res = pages.join(broadcast(wl), Seq("doc_id", "page_number"))
       .as[(String, Int, String)]
       .mapPartitions { it =>
         it.map { case (docId, pn, ref) =>
@@ -206,6 +233,7 @@ object ExtractJob {
           (docId, pn, ref, pr.text, pr.glyphCount)
         }
       }.toDF("doc_id", "page_number", "media_ref", "text", "glyph_count")
+    withUnmatchedWarning(res, wl, "reOcrSelective")
   }
 
   /** Selective table-structure pass — the Spark lifecycle equivalent of
@@ -229,14 +257,17 @@ object ExtractJob {
     val wl = worklist.select(
       col("doc_id"),
       col("page_number").cast("int"),
-      col("full_page").cast("boolean"),
+      // a null/empty full_page CSV cell must reach the XOR validation
+      // below as an identified work-list row, not die inside the tuple
+      // encoder's primitive-Boolean null check with Spark's opaque error
+      coalesce(col("full_page").cast("boolean"), lit(false)).as("full_page"),
       from_json(col("table_boxes"),
         ArrayType(ArrayType(IntegerType))).as("boxes"))
     val pages = input.flatMap { doc =>
       doc.spans.filter(_.kind == "media").sortBy(_.offset).zipWithIndex
         .map { case (s, pn) => (doc.doc_id, pn, s.media_ref) }
     }.toDF("doc_id", "page_number", "media_ref")
-    pages.join(broadcast(wl), Seq("doc_id", "page_number"))
+    val res = pages.join(broadcast(wl), Seq("doc_id", "page_number"))
       .as[(String, Int, String, Boolean, Seq[Seq[Int]])]
       .mapPartitions { it =>
         it.flatMap { case (docId, pn, ref, fullPage, boxesRaw) =>
@@ -258,5 +289,6 @@ object ExtractJob {
         }
       }.toDF("doc_id", "page_number", "table_idx",
              "x1", "y1", "x2", "y2", "n_cells", "grid")
+    withUnmatchedWarning(res, wl, "tableDataSelective")
   }
 }

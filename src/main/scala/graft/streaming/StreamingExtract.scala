@@ -18,12 +18,30 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamingExtract {
 
-  /** Process all corpus files not yet seen by this checkpoint; append
-    * extracted docs to outPath. Returns input docs processed this run. */
+  /** Idempotent per-batch sink: each micro-batch owns the `batch=<id>`
+    * partition directory and OVERWRITES it. If a run dies after the write
+    * commits but before the streaming checkpoint records the batch, the
+    * next AvailableNow run replays the batch into the same directory and
+    * the output is unchanged — append mode would duplicate every doc of
+    * the replayed batch (exactly the reference's double-processing window
+    * when its max-filename watermark lags a crash). */
+  def writeBatch(spark: SparkSession, batch: DataFrame, outPath: String,
+                 batchId: Long, cfg: ExtractJob.Config): Long = {
+    import spark.implicits._
+    val docs = batch.as[Doc].persist()
+    ExtractJob.extract(spark, docs, cfg)
+      .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+    val n = docs.count()
+    docs.unpersist()
+    n
+  }
+
+  /** Process all corpus files not yet seen by this checkpoint; write
+    * extracted docs to outPath (batch-partitioned, replay-idempotent).
+    * Returns input docs processed this run. */
   def runAvailableNow(spark: SparkSession, inputPath: String,
                       outPath: String, ckptDir: String,
                       cfg: ExtractJob.Config = ExtractJob.Config()): Long = {
-    import spark.implicits._
     val processed = new java.util.concurrent.atomic.AtomicLong(0)
     val stream = spark.readStream
       .schema(Encoders.product[Doc].schema)
@@ -32,12 +50,8 @@ object StreamingExtract {
     val q = stream.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val docs = batch.as[Doc].persist()
-        ExtractJob.extract(spark, docs, cfg)
-          .write.mode("append").parquet(outPath)
-        processed.addAndGet(docs.count())
-        docs.unpersist()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processed.addAndGet(writeBatch(spark, batch, outPath, batchId, cfg))
         ()
       }
       .start()

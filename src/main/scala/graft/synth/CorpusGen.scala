@@ -62,11 +62,24 @@ object CorpusGen {
   }
 
   /** Whole corpus: (inputs, goldens), both in doc-index order.
-    * heavyEvery > 0 makes every k-th doc a heavy (skewed) one. */
+    * heavyEvery > 0 makes every k-th doc a heavy (skewed) one.
+    * Driver-side materialization — TEST fixtures only; production paths
+    * (Main gen, Bench, x-queries) use the distributed [[inputDS]]. */
   def corpus(nDocs: Int, heavyEvery: Int = 0): (Vector[Doc], Vector[Doc]) = {
     val pairs = Vector.tabulate(nDocs)(i =>
       genDoc(i, heavy = heavyEvery > 0 && i % heavyEvery == heavyEvery - 1))
     (pairs.map(_._1), pairs.map(_._2))
+  }
+
+  /** Distributed corpus generation: genDoc(i) is seed-pure, so the corpus
+    * is a map over spark.range — no driver-side Vector at any scale (the
+    * north_rule's 10^12-doc corpus never fits a driver). */
+  def inputDS(spark: org.apache.spark.sql.SparkSession, nDocs: Int,
+              heavyEvery: Int = 0): org.apache.spark.sql.Dataset[Doc] = {
+    import spark.implicits._
+    val he = heavyEvery
+    spark.range(nDocs).mapPartitions(_.map(i =>
+      genDoc(i.toInt, heavy = he > 0 && i % he == he - 1)._1))
   }
 
   private def words(rng: Rng, n: Int): Vector[String] =

@@ -106,6 +106,37 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pairs.length == 8 * 15, s"got ${pairs.length} pairs")
   }
 
+  test("d9: LSH-blocked pair space equals the all-pairs predicate exactly " +
+       "on the driver testdata (and the plan has no nested-loop join)") {
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val td = s"/root/testdata/$sf"
+      assume(new java.io.File(s"$td/embeddings.parquet").exists)
+      val df = CorpusOps.d9EmbedDup(spark, td)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop"), s"all-pairs join in $sf plan")
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val q = spark.read.parquet(s"$td/embeddings.parquet")
+        .selectExpr("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray))
+        .sortBy(_._1)
+      val want = (for {
+        i <- q.indices.iterator
+        j <- ((i + 1) until q.length).iterator
+        d = dot(q(i)._2, q(j)._2)
+        if d > 0 && 25L * d * d >= 4L * dot(q(i)._2, q(i)._2) * dot(q(j)._2, q(j)._2)
+      } yield (q(i)._1, q(j)._1)).toSet
+      assert(got == want,
+        s"$sf: missed=${(want -- got).take(5)} extra=${(got -- want).take(5)} " +
+        s"(${got.size} vs ${want.size})")
+    }
+  }
+
   test("e3: IVF ANN reaches >= 0.9 of brute-force recall on clusters") {
     val exact = CorpusOps.e1KnnBrute(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -226,6 +226,41 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("work-list hardening: null full_page decodes, bad rows identified, " +
+       "unmatched rows warned (pdf_parser.py:205-209 warn-and-drop)") {
+    import spark.implicits._
+    val (inputs, _) = CorpusGen.corpus(6)
+    val doc = inputs.find(_.spans.count(_.kind == "media") >= 2).get
+    // null full_page + explicit boxes is a VALID row (box path)
+    val wlOk = Seq((doc.doc_id, 1, null.asInstanceOf[String], "[[0,0,100,100]]"))
+      .toDF("doc_id", "page_number", "full_page", "table_boxes")
+    val ok = ExtractJob.tableDataSelective(spark, inputs.toDS(), wlOk).collect()
+    assert(ok.length == 1)
+    // null full_page + null boxes fails with the offending row identified,
+    // not Spark's opaque null-in-non-nullable-field error
+    val wlBad = Seq(
+      (doc.doc_id, 1, null.asInstanceOf[String], null.asInstanceOf[String]))
+      .toDF("doc_id", "page_number", "full_page", "table_boxes")
+    val e = intercept[Throwable] {
+      ExtractJob.tableDataSelective(spark, inputs.toDS(), wlBad).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains(doc.doc_id) && msgs.contains("exactly one"), msgs)
+    // unmatched (doc, page) rows are reported on stderr, never silent
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    val rows =
+      try {
+        val wl99 = Seq((doc.doc_id, 99)).toDF("doc_id", "page_number")
+        ExtractJob.reOcrSelective(spark, inputs.toDS(), wl99).collect()
+      } finally System.setErr(old)
+    assert(rows.isEmpty)
+    assert(buf.toString.contains("matched no page"),
+           s"missing warn: ${buf.toString.take(400)}")
+  }
+
   test("parquet scan prunes columns and pushes filters (q1 plan)") {
     val plan = graft.operators.RelationalOps
       .q1Pricing(spark, "/root/testdata/sf0.001")

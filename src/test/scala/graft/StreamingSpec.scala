@@ -44,4 +44,21 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.size == 12)
     assert(spansOf(got) == spansOf(goldens))
   }
+
+  test("sink is idempotent under batch replay (crash between write and " +
+       "checkpoint commit)") {
+    import graft.pipeline.ExtractJob
+    import spark.implicits._
+    val out = tmp("sreplay")
+    val (inputs, goldens) = CorpusGen.corpus(5)
+    val batch = inputs.toDS().toDF()
+    // a run that died after the sink committed but before the streaming
+    // checkpoint recorded batch 0 re-delivers the same batch on restart
+    StreamingExtract.writeBatch(spark, batch, out, 0L, ExtractJob.Config())
+    StreamingExtract.writeBatch(spark, batch, out, 0L, ExtractJob.Config())
+    val got = spark.read.parquet(out).select("doc_id", "spans").as[Doc]
+      .collect().toSeq
+    assert(got.size == 5, s"replay duplicated docs: ${got.size}")
+    assert(spansOf(got) == spansOf(goldens.take(5)))
+  }
 }

@@ -126,7 +126,10 @@ object SparkEntry {
   }
 
   /** Layout segmentation + containment matching over synthetic pages
-    * (T7 + J2/J3): per-page block inventory. */
+    * (T7 + J2/J3): per-page block inventory with the reference's label
+    * taxonomy (PageHeader / SectionHeader / Text / ListItem / Table /
+    * PageFooter) and its top_k label→score map, serialized
+    * deterministically as "label:score_e2" pairs sorted by score. */
   private def layoutSegments(spark: SparkSession, nDocs: Int): DataFrame = {
     import spark.implicits._
     import graft.synth.PageRenderer
@@ -137,15 +140,18 @@ object SparkEntry {
     pages.repartition(8).mapPartitions { it =>
       it.flatMap { case (docId, page) =>
         val crop = graft.kernel.CropConfig.lookup(docId)
-        val pr = graft.kernel.Recognize.recognizeStored(
+        val (layouts, lines) = graft.kernel.Recognize.segmentPageFull(
           PageRenderer.render(docId, page), crop)
-        val layouts = graft.kernel.LayoutSegment.segment(
-          pr.lines, PageRenderer.LogicalW, PageRenderer.LogicalH)
-        val mm = graft.kernel.MatchMaking.matchTextsToLayouts(layouts, pr.lines)
-        mm.matched.map(m => (docId, page, m.position, m.label,
-                             m.texts.size, mm.rest.size))
+        val mm = graft.kernel.MatchMaking.matchTextsToLayouts(layouts, lines)
+        mm.matched.map { m =>
+          val topK = m.topK.toSeq
+            .sortBy { case (l, s) => (-s, l) }
+            .map { case (l, s) => s"$l:${math.round(s * 100)}" }
+            .mkString(",")
+          (docId, page, m.position, m.label, topK, m.texts.size, mm.rest.size)
+        }
       }
-    }.toDF("doc_id", "page", "position", "label", "n_lines", "n_rest")
+    }.toDF("doc_id", "page", "position", "label", "top_k", "n_lines", "n_rest")
       .orderBy("doc_id", "page", "position")
   }
 

@@ -61,8 +61,14 @@ case class BBox(x1: Int, y1: Int, x2: Int, y2: Int) {
 /** A recognized text line (reference TextLine: ocr_processor.py:104-114). */
 case class TextLine(bbox: BBox, text: String, confidence: Double)
 
-/** A layout region (reference LayoutBox: ocr_processor.py:78-97). */
-case class LayoutBox(bbox: BBox, label: String, position: Int, confidence: Double)
+/** A layout region (reference LayoutBox: ocr_processor.py:78-97). `label`
+  * uses the reference's taxonomy (SectionHeader, Text, PageHeader,
+  * PageFooter, Table, ListItem, ...); `topK` is the label→score map the
+  * reference attaches to every region (live sample
+  * results/surya/capture/results.json `top_k`). */
+case class LayoutBox(bbox: BBox, label: String, position: Int,
+                     confidence: Double,
+                     topK: Map[String, Double] = Map.empty)
 
 /** Crop margins in pixels (classes/pdf_parser.py:61-80). */
 case class Crop(top: Int, left: Int, right: Int, bottom: Int)

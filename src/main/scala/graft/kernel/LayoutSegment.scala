@@ -4,10 +4,22 @@ import graft.core.{BBox, LayoutBox, TextLine}
 
 /** Layout segmentation — the classical stand-in for the reference's Surya
   * LayoutPredictor (classes/ocr_processor.py:77-100; SURVEY §7.3
-  * "Layout"). v1 segments text columns: the 2-column gutter rule reuses
-  * the same center-zone logic as the table detector's F4
-  * (table_detection.py:218-254); `position` is the reading order the
-  * reference's LayoutBox carries (ocr_processor.py:88).
+  * "Layout"). Two stages:
+  *
+  *  1. column split: the 2-column gutter rule reusing the same center-zone
+  *     logic as the table detector's F4 (table_detection.py:218-254);
+  *  2. within each column, blocks split at wide vertical gaps and indent
+  *     runs, then labeled with the reference's taxonomy
+  *     (ocr_processor.py:78-97 label set): `SectionHeader` (single short
+  *     line with extra whitespace), `ListItem` (indented run), `Table`
+  *     (grid of numeric cells), `Text` (default); the full-page path adds
+  *     `PageHeader`/`PageFooter` (Recognize.segmentPageFull). Every box
+  *     carries a `top_k` label→score map like the reference's LayoutBox
+  *     (live sample results/surya/capture/results.json) — scores here are
+  *     deterministic rule strengths, not softmax outputs.
+  *
+  * `position` is the reading order the reference's LayoutBox carries
+  * (ocr_processor.py:88): columns left→right, blocks top→bottom.
   */
 object LayoutSegment {
 
@@ -16,21 +28,134 @@ object LayoutSegment {
   /** The gutter must sit within centre ± this fraction of the body width
     * (the reference's gutter tolerance is a centre zone, F4). */
   val CentreZoneFrac = 0.22
+  /** Vertical gap (px between line boxes) at or above which two lines are
+    * separate blocks. Normal leading is 5 px, the section-header extra gap
+    * 17 px, the table-zone gap 19 px; the value must stay ABOVE the J2
+    * containment margin (10) or adjacent blocks' expanded boxes would
+    * swallow each other's border lines (MatchMaking margin semantics). */
+  val BlockSplitGap = 13
+  /** Left-indent (px vs the column's left edge) at or above which a run of
+    * lines splits out as a ListItem block. */
+  val IndentMin = 15
+  /** A numeric block needs at least this many digit-only lines. */
+  val TableMinNumeric = 3
 
-  /** Segment recognized lines into column layout blocks in reading order:
-    * left column first, then right; single block when no gutter found. */
+  /** Segment recognized lines into labeled layout blocks in reading order:
+    * left column first, then right; blocks top→bottom inside a column. */
   def segment(lines: Seq[TextLine], bodyW: Int, bodyH: Int): Vector[LayoutBox] = {
     if (lines.isEmpty) return Vector.empty
-    gutterX(lines, bodyW) match {
+    val columns: Vector[Seq[TextLine]] = gutterX(lines, bodyW) match {
       case Some(gx) =>
         val (left, right) = lines.partition(_.bbox.cx < gx)
-        val blocks = Vector(left, right).filter(_.nonEmpty)
-        blocks.zipWithIndex.map { case (ls, i) =>
-          LayoutBox(union(ls), "Text", i, 1.0)
-        }
-      case None =>
-        Vector(LayoutBox(union(lines), "Text", 0, 1.0))
+        Vector(left, right).filter(_.nonEmpty)
+      case None => Vector(lines)
     }
+    val blocks = columns.flatMap { col =>
+      val colMinX = col.map(_.bbox.x1).min
+      val colW = math.max(1, col.map(_.bbox.x2).max - colMinX)
+      gapBlocks(col)
+        // a numeric grid row has cells at staggered x — indent splitting
+        // must not shred it before the Table rule can see it
+        .flatMap(b => if (isNumericGrid(b)) Vector(b) else indentRuns(b))
+        .map(ls => label(ls, colW, colMinX))
+    }
+    mergeAdjacentTables(blocks).zipWithIndex.map { case ((bb, lab, conf, tk), i) =>
+      LayoutBox(bb, lab, i, conf, tk)
+    }
+  }
+
+  /** One labeled block: (bbox, label, confidence, top_k). */
+  private type Block = (BBox, String, Double, Map[String, Double])
+
+  /** Split a (y,x)-sorted column into blocks at wide vertical gaps. */
+  private def gapBlocks(col: Seq[TextLine]): Vector[Vector[TextLine]] = {
+    val sorted = col.sortBy(l => (l.bbox.y1, l.bbox.x1)).toVector
+    val out = Vector.newBuilder[Vector[TextLine]]
+    var cur = Vector.newBuilder[TextLine]
+    var curMaxY2 = Int.MinValue
+    for (l <- sorted) {
+      if (curMaxY2 != Int.MinValue && l.bbox.y1 - curMaxY2 >= BlockSplitGap) {
+        out += cur.result()
+        cur = Vector.newBuilder[TextLine]
+        curMaxY2 = Int.MinValue
+      }
+      cur += l
+      curMaxY2 = math.max(curMaxY2, l.bbox.y2)
+    }
+    val last = cur.result()
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
+  /** Split indent runs (>= 2 consecutive lines indented >= IndentMin vs
+    * the block's left edge) out of a gap-block — the `Layouts Imbriqués`
+    * nested-block fixture becomes its own ListItem candidate. */
+  private def indentRuns(block: Vector[TextLine]): Vector[Vector[TextLine]] = {
+    val minX = block.map(_.bbox.x1).min
+    val flags = block.map(_.bbox.x1 - minX >= IndentMin)
+    if (!flags.contains(true)) return Vector(block)
+    val out = Vector.newBuilder[Vector[TextLine]]
+    var i = 0
+    while (i < block.length) {
+      var j = i
+      while (j < block.length && flags(j) == flags(i)) j += 1
+      out += block.slice(i, j)
+      i = j
+    }
+    out.result()
+  }
+
+  private def isNumericGrid(ls: Seq[TextLine]): Boolean =
+    ls.lengthCompare(TableMinNumeric) >= 0 &&
+    ls.forall(l => l.text.nonEmpty && l.text.forall(_.isDigit))
+
+  /** Label one block of lines. Rule order: Table (all-numeric grid) →
+    * ListItem (indented run of >= 2 lines) → SectionHeader (single short
+    * line) → Text. Scores are integer-ratio rule strengths (deterministic
+    * doubles), carried in the top_k map with Text as the runner-up. */
+  private def label(ls: Vector[TextLine], colW: Int, colMinX: Int): Block = {
+    val bb = union(ls)
+    val numeric = ls.count(l => l.text.nonEmpty && l.text.forall(_.isDigit))
+    if (numeric == ls.length && numeric >= TableMinNumeric) {
+      val s = math.min(100L, 100L * numeric / 6).toDouble / 100.0
+      (bb, "Table", s, Map("Table" -> s, "Text" -> (1.0 - s)))
+    } else if (ls.length >= 2 && bb.x1 - colMinX >= IndentMin) {
+      val s = math.min(100L, 100L * (bb.x1 - colMinX) / 30).toDouble / 100.0
+      (bb, "ListItem", s, Map("ListItem" -> s, "Text" -> (1.0 - s)))
+    } else if (ls.length == 1 && bb.w.toLong * 100 <= 55L * colW) {
+      val s = (100L - 100L * bb.w / colW).toDouble / 100.0
+      (bb, "SectionHeader", s, Map("SectionHeader" -> s, "Text" -> (1.0 - s)))
+    } else (bb, "Text", 1.0, Map("Text" -> 1.0))
+  }
+
+  /** Relabel + ListItem pass over consecutive blocks, then merge adjacent
+    * Table blocks (each ruled-table row arrives as its own numeric block;
+    * the reference emits ONE Table region per table). ListItem needs
+    * neighbour context: an indented run is a ListItem only if a
+    * non-indented block sits beside it, which is known only here. */
+  private def mergeAdjacentTables(blocks: Vector[Block]): Vector[Block] = {
+    val out = Vector.newBuilder[Block]
+    var i = 0
+    while (i < blocks.length) {
+      val b = blocks(i)
+      if (b._2 == "Table") {
+        var bb = b._1
+        var nRows = 1
+        var j = i + 1
+        while (j < blocks.length && blocks(j)._2 == "Table") {
+          bb = bb.union(blocks(j)._1)
+          nRows += 1
+          j += 1
+        }
+        val s = math.min(100L, 100L * nRows / 3 + 40).toDouble / 100.0
+        out += ((bb, "Table", s, Map("Table" -> s, "Text" -> (1.0 - s))))
+        i = j
+      } else {
+        out += b
+        i += 1
+      }
+    }
+    out.result()
   }
 
   /** Centre x of the widest clear vertical band within the centre zone

@@ -16,7 +16,8 @@ import graft.core.{BBox, LayoutBox, TextLine}
 object MatchMaking {
 
   final case class Matched(layoutBBox: BBox, label: String, position: Int,
-                           texts: Vector[TextLine])
+                           texts: Vector[TextLine],
+                           topK: Map[String, Double] = Map.empty)
   final case class Result(matched: Vector[Matched], rest: Vector[TextLine])
 
   def matchTextsToLayouts(layouts: Seq[LayoutBox], texts: Seq[TextLine],
@@ -38,7 +39,8 @@ object MatchMaking {
         .sortBy { case (_, t) => (t.bbox.y1, t.bbox.x1) }
         .map(_._2)
       if (sorted.nonEmpty)
-        matched += Matched(lb, layout.label, layout.position, sorted)
+        matched += Matched(lb, layout.label, layout.position, sorted,
+                           layout.topK)
     }
     val rest = texts.zipWithIndex
       .collect { case (t, i) if !matchedIdx(i) => t }

@@ -69,6 +69,38 @@ object Recognize {
   /** Render scale of the synthetic corpus (pages arrive at 2x). */
   val PageScale = 2
 
+  /** Full-page layout inference (T7 with the complete reference taxonomy,
+    * ocr_processor.py:78-97): like recognizeStored but WITHOUT the margin
+    * crop, so the header/footer bands stay visible and are labeled
+    * `PageHeader`/`PageFooter` via the crop-config y-bands (the
+    * reference's crop table is exactly the statement of where those bands
+    * live, joradp_parse.py:13-82). Returns (labeled boxes in upright page
+    * coordinates in reading order: PageHeader, body blocks, PageFooter;
+    * all recognized lines). */
+  def segmentPageFull(stored: Gray, crop: Crop): (Vector[graft.core.LayoutBox], Vector[TextLine]) = {
+    import graft.img.PlanePool
+    import graft.core.LayoutBox
+    val n = stored.px.length / (PageScale * PageScale)
+    val logical = stored.downsample(PageScale, PlanePool.bytes("k.ds", n))
+    val bin = Otsu.binarizeInv(logical, PlanePool.bools("k.bin", n))
+    val angle = detectOrientation(bin)
+    val upright = rotate(bin, angle, PlanePool.bools("k.upright", n))
+    val pr = segmentAndClassify(upright)
+    val footerStart = upright.h - crop.bottom
+    val (header, rest0) = pr.lines.partition(_.bbox.y2 <= crop.top)
+    val (footer, body) = rest0.partition(_.bbox.y1 >= footerStart)
+    val bodyBlocks = LayoutSegment.segment(body, upright.w, upright.h)
+    def band(ls: Seq[TextLine], label: String, pos: Int): LayoutBox =
+      LayoutBox(ls.map(_.bbox).reduce(_.union(_)), label, pos, 1.0,
+                Map(label -> 1.0))
+    val out = Vector.newBuilder[LayoutBox]
+    var pos = 0
+    if (header.nonEmpty) { out += band(header, "PageHeader", pos); pos += 1 }
+    for (b <- bodyBlocks) { out += b.copy(position = pos); pos += 1 }
+    if (footer.nonEmpty) { out += band(footer, "PageFooter", pos); pos += 1 }
+    (out.result(), pr.lines)
+  }
+
   /** Rotate by 0/90/270 only; a 180 request warns and returns the input
     * unrotated — the reference's intentional quirk (pdf_parser.py:413-435,
     * observed live on F2024007: "Wrong rotation asked for 180"). */

@@ -131,6 +131,39 @@ object PageRenderer {
     } else PageLayout(rng.between(22, 32), None, None)
   }
 
+  /** SectionHeader fixture (taxonomy class from the reference's label set,
+    * classes/ocr_processor.py:78-97): ~1 in 5 single-column non-table
+    * pages carry a SHORT line (<= 40% of body width) at this index with an
+    * extra LinePitch of whitespace below it — the classical "short line +
+    * wide gap" sectioning signal LayoutSegment labels `SectionHeader`. */
+  def sectionHeaderLine(docId: String, page: Int): Option[Int] = {
+    val layout = layoutFor(docId, page)
+    // > 29 lines + the two extra header gaps would push the last line into
+    // the bottom crop band (worst crop is top 42 / bottom 32)
+    if (layout.table.nonEmpty || layout.twoCol.nonEmpty ||
+        layout.textLines < 8 || layout.textLines > 29) None
+    else {
+      val rng = new Rng(pageSeed(docId, page) ^ 0x5EC7104EADL)
+      if (rng.nextInt(5) != 0) None
+      else Some(1 + rng.nextInt(layout.textLines - 4))
+    }
+  }
+
+  /** y of body line `i` on a single-column page — the one place the
+    * section-header extra gaps (one LinePitch of whitespace above AND
+    * below the header, so it segments as its own block) are accounted for;
+    * shared by the text drawer, the hrule placer and the speck placer so
+    * fixtures never collide. */
+  def lineY(docId: String, page: Int, i: Int): Int = {
+    val crop = CropConfig.lookup(docId)
+    val extra = sectionHeaderLine(docId, page) match {
+      case Some(h) if i > h => 2 * GlyphFont.LinePitch
+      case Some(h) if i == h => GlyphFont.LinePitch
+      case _ => 0
+    }
+    crop.top + BodyYPad + i * GlyphFont.LinePitch + extra
+  }
+
   /** Leading-gap indices carrying a full-width separator rule
     * (`Ligne Horizontale` fixture class): ~1 in 6 single-column non-table
     * pages. The text path must gate these out via the graphics filter. */
@@ -182,12 +215,15 @@ object PageRenderer {
         Vector.fill(n1 + n2)(genLine(rng, colW))
       case None =>
         val nested = nestedBlock(docId, page)
+        val hdr = sectionHeaderLine(docId, page)
         val textLines = Vector.tabulate(layout.textLines) { i =>
           val indent = nested match {
             case Some((s0, len, ind)) if i >= s0 && i < s0 + len => ind
             case _ => 0
           }
-          genLine(rng, innerW - indent)
+          // section-header fixture: short line (<= 40% body width)
+          val maxW = if (hdr.contains(i)) (innerW * 2) / 5 else innerW - indent
+          genLine(rng, maxW)
         }
         val cellLines = layout.table.toVector.flatMap { t =>
           for {
@@ -271,21 +307,19 @@ object PageRenderer {
         // bodyLines appends cell-digit golden lines on table pages; only
         // the text block is drawn here (cells drawn in the table loop)
         val nested = nestedBlock(docId, page)
-        var y = crop.top + BodyYPad
         for ((ln, i) <- lines.take(layout.textLines).zipWithIndex) {
           val indent = nested match {
             case Some((s0, len, ind)) if i >= s0 && i < s0 + len => ind
             case _ => 0
           }
-          drawLine(mask, ln, x0 + indent, y)
-          y += GlyphFont.LinePitch
+          drawLine(mask, ln, x0 + indent, lineY(docId, page, i))
         }
         // horizontal-rule fixture (`Ligne Horizontale` failure class,
         // FIXTURES.md §3): full-width separator rules in leading gaps on
         // ~1 in 6 non-table single-column pages; the text path must gate
         // them out (graphics filter), goldens unchanged
         for (li <- hruleLines(docId, page)) {
-          val ry = crop.top + BodyYPad + li * GlyphFont.LinePitch - 3
+          val ry = lineY(docId, page, li) - 3
           val x1 = crop.left + BodyXPad
           val x2 = LogicalW - crop.right - BodyXPad
           var x = x1

@@ -47,8 +47,17 @@ object Recognize {
     val logical = stored.downsample(PageScale,
       PlanePool.bytes("k.ds", n)) // resize-to-height analog (T1)
     val bin = Otsu.binarizeInv(logical, PlanePool.bools("k.bin", n)) // T11
-    val angle = detectOrientation(bin)           // T4 (classical OSD)
-    val upright = rotate(bin, angle, PlanePool.bools("k.upright", n)) // T5
+    // small-angle deskew (north_star): portrait pages before orientation
+    // scoring (shear is in the page frame); landscape pages after the
+    // 90/270 rotation brings them upright
+    val pre =
+      if (bin.w < bin.h) graft.img.Deskew.unshear(bin, PlanePool.bools("k.deskew", n))
+      else bin
+    val angle = detectOrientation(pre)           // T4 (classical OSD)
+    val upright0 = rotate(pre, angle, PlanePool.bools("k.upright", n)) // T5
+    val upright =
+      if (bin.w < bin.h) upright0
+      else graft.img.Deskew.unshear(upright0, PlanePool.bools("k.deskew", n))
     val body = upright.crop(
       BBox(crop.left, crop.top,
            upright.w - crop.right, upright.h - crop.bottom),
@@ -83,8 +92,14 @@ object Recognize {
     val n = stored.px.length / (PageScale * PageScale)
     val logical = stored.downsample(PageScale, PlanePool.bytes("k.ds", n))
     val bin = Otsu.binarizeInv(logical, PlanePool.bools("k.bin", n))
-    val angle = detectOrientation(bin)
-    val upright = rotate(bin, angle, PlanePool.bools("k.upright", n))
+    val pre =
+      if (bin.w < bin.h) graft.img.Deskew.unshear(bin, PlanePool.bools("k.deskew", n))
+      else bin
+    val angle = detectOrientation(pre)
+    val upright0 = rotate(pre, angle, PlanePool.bools("k.upright", n))
+    val upright =
+      if (bin.w < bin.h) upright0
+      else graft.img.Deskew.unshear(upright0, PlanePool.bools("k.deskew", n))
     val pr = segmentAndClassify(upright)
     val footerStart = upright.h - crop.bottom
     val (header, rest0) = pr.lines.partition(_.bbox.y2 <= crop.top)

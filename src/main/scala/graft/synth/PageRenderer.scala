@@ -239,6 +239,25 @@ object PageRenderer {
   def bodyText(docId: String, page: Int): String =
     bodyLines(docId, page).mkString("\n")
 
+  /** Small-skew fixture (north_star deskew stage): integer shear slope in
+    * 1/256 units (±5..±9 ≈ ±1.1°..±2.0°) on ~1 in 7 upright non-table
+    * pages — the "slightly crooked scan" class common in the reference's
+    * corpus. The shear is centered on the page midline and applied at the
+    * stored 2x scale with even displacements, so the kernel's downsample →
+    * binarize → estimate → inverse-shear chain is bit-exact
+    * (graft.img.Deskew shares the displacement formula). */
+  def skewSlope(docId: String, page: Int): Int = {
+    if (storedRotation(docId, page) != 0) return 0
+    if (layoutFor(docId, page).table.nonEmpty) return 0
+    val rng = new Rng(pageSeed(docId, page) ^ 0x5435AB1E5L)
+    if (rng.nextInt(7) != 0) 0
+    else {
+      val mag = rng.between(graft.img.Deskew.MaxSlope - 4,
+                            graft.img.Deskew.MaxSlope)
+      if (rng.nextInt(2) == 0) mag else -mag
+    }
+  }
+
   /** Stored rotation of a page: 0 (80%), 90 or 270 (10% each). The kernel
     * must detect and undo it. 180 never occurs in the corpus — the
     * reference leaves 180 unrotated by design (pdf_parser.py:425-433);
@@ -397,7 +416,29 @@ object PageRenderer {
       }
       yy += 1
     }
-    new Gray(w2, h2, px).rotateCCW(storedRotation(docId, page),
+    // small-skew fixture: forward shear S(x, y) = O(x, y - dy(x)) at 2x,
+    // even displacements (2x the logical-column displacement) so the
+    // kernel's box-mean downsample commutes with the shear exactly
+    val slope = skewSlope(docId, page)
+    val base =
+      if (slope == 0) new Gray(w2, h2, px)
+      else {
+        val out = graft.img.PlanePool.bytes("render.shear", w2 * h2)
+        var x = 0
+        while (x < w2) {
+          val dy2 = 2 * graft.img.Deskew.shearDy(x / Scale, LogicalW, slope)
+          var y = 0
+          while (y < h2) {
+            val sy = y - dy2
+            out(y * w2 + x) =
+              if (sy >= 0 && sy < h2) px(sy * w2 + x) else 230.toByte
+            y += 1
+          }
+          x += 1
+        }
+        new Gray(w2, h2, out)
+      }
+    base.rotateCCW(storedRotation(docId, page),
       graft.img.PlanePool.bytes("render.rot", w2 * h2))
   }
 

@@ -78,6 +78,22 @@ object Main {
       println(s"REOCR snapshot=$snapId rows=${spark.read.parquet(out).count()}")
       spark.stop()
 
+    case "regions" :: in :: out :: Nil =>
+      val spark = session("graft-regions")
+      import spark.implicits._
+      val (df, snapId) = SnapshotTable.read(spark, in)
+      graft.pipeline.BandReorder.regions(spark, df.as[graft.core.Doc])
+        .write.mode("overwrite").parquet(out)
+      println(s"REGIONS snapshot=$snapId rows=${spark.read.parquet(out).count()}")
+      spark.stop()
+
+    case "reband" :: in :: out :: Nil =>
+      val spark = session("graft-reband")
+      val res = graft.pipeline.BandReorder.reorder(spark.read.parquet(in))
+      res.write.mode("overwrite").parquet(out)
+      println(s"REBAND rows=${spark.read.parquet(out).count()} dir=$out")
+      spark.stop()
+
     case "stream" :: in :: out :: ckpt :: Nil =>
       val spark = session("graft-stream")
       val n = graft.streaming.StreamingExtract.runAvailableNow(spark, in, out, ckpt)
@@ -97,6 +113,8 @@ object Main {
            |       extract <snapshotDir> <outDir> <ckptDir> [buckets] [worklistCsv]
            |       tables <snapshotDir> <outDir> <worklistCsv>
            |       reocr <snapshotDir> <outDir> <worklistCsv>
+           |       regions <snapshotDir> <outDir>
+           |       reband <regionsDir> <outDir>
            |       stream <inputDir> <outDir> <streamCkptDir>
            |       export <outDir> <jsonDir>""".stripMargin)
       sys.exit(2)

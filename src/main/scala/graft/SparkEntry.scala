@@ -61,6 +61,7 @@ object SparkEntry {
     "x5_table_selective" -> ((s, _) => tableSelective(s, 48)),
     "x6_table_eval" -> ((s, _) => tableEval(s, 96)),
     "q12_json_extract" -> ((s, d) => RelationalOps.q12JsonExtract(s, d)),
+    "q13_reband" -> ((s, d) => RelationalOps.q13Reband(s, d)),
   )
 
   /** Multimodal feature extraction as a standalone distributed query:
@@ -431,6 +432,32 @@ object SparkEntry {
          CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
          CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q13_reband" ->
+      """WITH r AS (
+           SELECT o_orderkey AS region_id,
+                  o_orderkey % 40 AS doc_id,
+                  o_orderkey % 5 AS page,
+                  (o_orderkey * 7) % 300 AS x1,
+                  (o_orderkey * 11) % 400 AS y1,
+                  (o_orderkey * 11) % 400 + 20 + o_orderkey % 15 AS y2,
+                  o_orderkey % 100 AS position
+           FROM orders WHERE o_orderkey % 13 = 0),
+         s AS (
+           SELECT doc_id, page,
+                  CAST(FLOOR(AVG(y2 - y1)) AS BIGINT) AS avg_h
+           FROM r GROUP BY doc_id, page),
+         b AS (
+           SELECT r.*, GREATEST(1, (s.avg_h * 3) // 10) AS tol
+           FROM r JOIN s USING (doc_id, page)),
+         k AS (
+           SELECT doc_id, page, region_id, x1, y1, position,
+                  ((y1 + tol // 2) // tol) * tol AS band
+           FROM b)
+         SELECT doc_id, page,
+                CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, page
+                  ORDER BY band, x1, y1, position) - 1 AS INT) AS position,
+                region_id
+         FROM k ORDER BY doc_id, page, position""",
     "e1_knn_brute" ->
       """WITH qe AS (
            SELECT vec_id,

@@ -177,6 +177,26 @@ object RelationalOps {
            min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** q13: the banded re-order correction pass (A6 pipeline op,
+    * textheight-median.py:204-222) over synthetic integer regions derived
+    * from orders — DuckDB-oracles BandReorder.reorder's relational core
+    * (floor-mean tolerance, integer band rounding, (band, x) rank). */
+  def q13Reband(s: SparkSession, dir: String): DataFrame = {
+    val regions = table(s, dir, "orders")
+      .filter(col("o_orderkey") % 13 === 0)
+      .select(
+        col("o_orderkey").as("region_id"),
+        (col("o_orderkey") % 40).as("doc_id"),
+        (col("o_orderkey") % 5).as("page"),
+        (col("o_orderkey") * 7 % 300).as("x1"),
+        (col("o_orderkey") * 11 % 400).as("y1"))
+      .withColumn("y2", col("y1") + 20 + col("region_id") % 15)
+      .withColumn("position", col("region_id") % 100)
+    graft.pipeline.BandReorder.reorder(regions)
+      .select(col("doc_id"), col("page"), col("position"), col("region_id"))
+      .orderBy("doc_id", "page", "position")
+  }
+
   /** q11: IoU best-match join (J4, test_tables.py:279-332): synthetic
     * integer boxes from two tables, best-IoU GT per prediction via window
     * argmax; all ratios kept in scaled integer space (iou_e6). */

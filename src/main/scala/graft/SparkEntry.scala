@@ -178,7 +178,8 @@ object SparkEntry {
     graft.pipeline.ExtractJob.tableDataSelective(spark, inputs, wl)
       .select(col("doc_id"), col("page_number"), col("table_idx"),
               col("x1"), col("y1"), col("x2"), col("y2"), col("n_cells"),
-              concat_ws("|", flatten(col("grid"))).as("grid_flat"))
+              concat_ws("|", flatten(col("grid"))).as("grid_flat"),
+              col("n_tokens"))
       .orderBy("doc_id", "page_number", "table_idx")
   }
 

@@ -254,6 +254,12 @@ object ExtractJob {
     import org.apache.spark.sql.types._
     import spark.implicits._
     val store = cfg.store
+    // optional `rotated` work-list column: the reference's `table rotated`
+    // label routes through the J7 rotated-crop token remap (TATR cell 27)
+    val rotatedCol =
+      if (worklist.columns.contains("rotated"))
+        coalesce(col("rotated").cast("boolean"), lit(false))
+      else lit(false)
     val wl = worklist.select(
       col("doc_id"),
       col("page_number").cast("int"),
@@ -262,15 +268,16 @@ object ExtractJob {
       // encoder's primitive-Boolean null check with Spark's opaque error
       coalesce(col("full_page").cast("boolean"), lit(false)).as("full_page"),
       from_json(col("table_boxes"),
-        ArrayType(ArrayType(IntegerType))).as("boxes"))
+        ArrayType(ArrayType(IntegerType))).as("boxes"),
+      rotatedCol.as("rotated"))
     val pages = input.flatMap { doc =>
       doc.spans.filter(_.kind == "media").sortBy(_.offset).zipWithIndex
         .map { case (s, pn) => (doc.doc_id, pn, s.media_ref) }
     }.toDF("doc_id", "page_number", "media_ref")
     val res = pages.join(broadcast(wl), Seq("doc_id", "page_number"))
-      .as[(String, Int, String, Boolean, Seq[Seq[Int]])]
+      .as[(String, Int, String, Boolean, Seq[Seq[Int]], Boolean)]
       .mapPartitions { it =>
-        it.flatMap { case (docId, pn, ref, fullPage, boxesRaw) =>
+        it.flatMap { case (docId, pn, ref, fullPage, boxesRaw, rotated) =>
           val boxes = Option(boxesRaw).getOrElse(Seq.empty)
           // CSV sync invariant: exactly one of full_page / table_boxes
           // (joradp_correct_add_table_data.py:113-114)
@@ -278,17 +285,32 @@ object ExtractJob {
             s"work-list row ($docId, $pn) must set exactly one of " +
             "full_page / table_boxes")
           val img = store.decode(ref)
+          val crop = graft.kernel.CropConfig.lookup(docId)
+          // page OCR tokens for the J7 crop remap, scaled to the stored
+          // (2x) frame the work-list boxes live in
+          val sc = graft.kernel.Recognize.PageScale
+          val tokens2x = graft.kernel.Recognize
+            .segmentPageFull(img, crop)._2
+            .map(t => t.copy(bbox = graft.core.BBox(
+              sc * t.bbox.x1, sc * t.bbox.y1, sc * t.bbox.x2, sc * t.bbox.y2)))
           val tboxes =
             if (fullPage) Seq(graft.core.BBox(0, 0, img.w, img.h))
             else boxes.map(b => graft.core.BBox(b(0), b(1), b(2), b(3)))
           tboxes.zipWithIndex.map { case (bb, ti) =>
             val cells = graft.kernel.TableDetect.detectTableCells(img, bb)
             val grid = graft.kernel.TableOcr.extractGrid(img, cells)
-            (docId, pn, ti, bb.x1, bb.y1, bb.x2, bb.y2, cells.size, grid)
+            val (_, toks) = graft.kernel.TokenCrop.tokensToCrop(
+              tokens2x, bb, img.w, img.h, rotated)
+            val tokStr = toks.map(t =>
+              s"${t.bbox.x1},${t.bbox.y1},${t.bbox.x2},${t.bbox.y2}:${t.text}")
+              .mkString("|")
+            (docId, pn, ti, bb.x1, bb.y1, bb.x2, bb.y2, cells.size, grid,
+             toks.size, tokStr)
           }
         }
       }.toDF("doc_id", "page_number", "table_idx",
-             "x1", "y1", "x2", "y2", "n_cells", "grid")
+             "x1", "y1", "x2", "y2", "n_cells", "grid",
+             "n_tokens", "tokens")
     withUnmatchedWarning(res, wl, "tableDataSelective")
   }
 }

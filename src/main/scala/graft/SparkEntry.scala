@@ -60,6 +60,7 @@ object SparkEntry {
     "x4_media_stats" -> ((s, _) => mediaStats(s, 48)),
     "x5_table_selective" -> ((s, _) => tableSelective(s, 48)),
     "x6_table_eval" -> ((s, _) => tableEval(s, 96)),
+    "x7_eval_report" -> ((s, _) => tableEvalReport(s, 96)),
     "q12_json_extract" -> ((s, d) => RelationalOps.q12JsonExtract(s, d)),
     "q13_reband" -> ((s, d) => RelationalOps.q13Reband(s, d)),
   )
@@ -203,6 +204,70 @@ object SparkEntry {
       } else fp += 1
     }
     (tp, fp, gts.size - matched.size)
+  }
+
+  /** Greedy best-IoU matching like iouCounts, but emitting one row per
+    * prediction (tp/fp + matched GT + iou_e6) and per unmatched GT (fn) —
+    * the rows behind the counters. */
+  private def iouReport(preds: Seq[graft.core.BBox], gts: Seq[graft.core.BBox])
+      : Vector[(String, Option[graft.core.BBox], Option[graft.core.BBox], Long)] = {
+    val matched = scala.collection.mutable.Set[Int]()
+    val out = Vector.newBuilder[(String, Option[graft.core.BBox], Option[graft.core.BBox], Long)]
+    for (p <- preds) {
+      var bestIou = 0.0
+      var bestIdx = -1
+      for ((g, i) <- gts.zipWithIndex) {
+        val iou = p.iou(g)
+        if (iou > bestIou) { bestIou = iou; bestIdx = i }
+      }
+      if (bestIou >= 0.5 && bestIdx >= 0 && !matched(bestIdx)) {
+        matched += bestIdx
+        out += (("tp", Some(p), Some(gts(bestIdx)), math.round(bestIou * 1e6)))
+      } else out += (("fp", Some(p),
+                      if (bestIdx >= 0) Some(gts(bestIdx)) else None,
+                      math.round(bestIou * 1e6)))
+    }
+    for ((g, i) <- gts.zipWithIndex if !matched(i))
+      out += (("fn", None, Some(g), 0L))
+    out.result()
+  }
+
+  /** Failure-triage report — the engine's analog of the reference's
+    * HtmlReporter (test_tables.py:131-193), which writes one HTML page per
+    * mismatching input for eval debugging: one ROW per prediction/missed
+    * ground truth with its match status and IoU, queryable/joinable
+    * instead of rendered. Same detector + greedy matcher as x6, so the
+    * status counts reconcile with the aggregate counters exactly. */
+  private def tableEvalReport(spark: SparkSession, nDocs: Int): DataFrame = {
+    import spark.implicits._
+    import graft.synth.PageRenderer
+    tablePages(spark, nDocs).repartition(8).mapPartitions { it =>
+      it.flatMap { case (docId, page) =>
+        val spec = PageRenderer.layoutFor(docId, page).table.get
+        val stored = PageRenderer.render(docId, page)
+        val tables = graft.kernel.TableDetect.detectTables(stored)
+        val tableRows = iouReport(tables, Seq(spec.bbox2x)).map {
+          case (st, p, g, iou) => (docId, page, "table", st,
+            p.map(_.x1).getOrElse(-1), p.map(_.y1).getOrElse(-1),
+            p.map(_.x2).getOrElse(-1), p.map(_.y2).getOrElse(-1),
+            g.map(_.x1).getOrElse(-1), g.map(_.y1).getOrElse(-1),
+            g.map(_.x2).getOrElse(-1), g.map(_.y2).getOrElse(-1), iou)
+        }
+        val cellRows = tables.headOption.toVector.flatMap { b =>
+          val cells = graft.kernel.TableDetect.detectTableCells(stored, b)
+          iouReport(cells, spec.cells2x).map {
+            case (st, p, g, iou) => (docId, page, "cell", st,
+              p.map(_.x1).getOrElse(-1), p.map(_.y1).getOrElse(-1),
+              p.map(_.x2).getOrElse(-1), p.map(_.y2).getOrElse(-1),
+              g.map(_.x1).getOrElse(-1), g.map(_.y1).getOrElse(-1),
+              g.map(_.x2).getOrElse(-1), g.map(_.y2).getOrElse(-1), iou)
+          }
+        }
+        tableRows ++ cellRows
+      }
+    }.toDF("doc_id", "page", "kind", "status",
+           "px1", "py1", "px2", "py2", "gx1", "gy1", "gx2", "gy2", "iou_e6")
+      .orderBy("doc_id", "page", "kind", "status", "px1", "py1", "gx1", "gy1")
   }
 
   /** The reference's evaluation harness (test_tables.py main) as a

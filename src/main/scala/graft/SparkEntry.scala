@@ -63,6 +63,7 @@ object SparkEntry {
     "x7_eval_report" -> ((s, _) => tableEvalReport(s, 96)),
     "q12_json_extract" -> ((s, d) => RelationalOps.q12JsonExtract(s, d)),
     "q13_reband" -> ((s, d) => RelationalOps.q13Reband(s, d)),
+    "q14_token_crop" -> ((s, d) => RelationalOps.q14TokenCrop(s, d)),
   )
 
   /** Multimodal feature extraction as a standalone distributed query:
@@ -498,6 +499,30 @@ object SparkEntry {
          CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
          CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q14_token_crop" ->
+      """WITH tokens AS (
+           SELECT l_orderkey AS token_id, l_orderkey % 8 AS page,
+                  (l_orderkey * 19) % 600 AS tx1, (l_orderkey * 31) % 800 AS ty1,
+                  (l_orderkey * 19) % 600 + 30 AS tx2,
+                  (l_orderkey * 31) % 800 + 12 AS ty2
+           FROM lineitem WHERE l_orderkey % 53 = 0),
+         crops AS (
+           SELECT p_partkey AS crop_id, p_partkey % 8 AS page,
+                  (p_partkey * 7) % 400 AS cx1, (p_partkey * 11) % 500 AS cy1,
+                  (p_partkey * 7) % 400 + 200 AS cx2,
+                  (p_partkey * 11) % 500 + 250 AS cy2
+           FROM part WHERE p_partkey % 41 = 0),
+         j AS (
+           SELECT crop_id, token_id, tx1, ty1, tx2, ty2, cx1, cy1,
+                  GREATEST(0, LEAST(tx2, cx2) - GREATEST(tx1, cx1)) *
+                  GREATEST(0, LEAST(ty2, cy2) - GREATEST(ty1, cy1)) AS inter,
+                  (tx2 - tx1) * (ty2 - ty1) AS tarea
+           FROM tokens JOIN crops USING (page))
+         SELECT crop_id, token_id,
+                tx1 - cx1 AS rx1, ty1 - cy1 AS ry1,
+                tx2 - cx1 AS rx2, ty2 - cy1 AS ry2
+         FROM j WHERE inter * 2 >= tarea
+         ORDER BY crop_id, token_id""",
     "q13_reband" ->
       """WITH r AS (
            SELECT o_orderkey AS region_id,

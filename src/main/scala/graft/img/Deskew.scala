@@ -25,40 +25,69 @@ object Deskew {
   @inline def shearDy(x: Int, w: Int, s: Int): Int =
     Math.floorDiv((x - w / 2) * s, 256)
 
-  /** Estimated slope of `b` (the value to pass to [[unshear]]). */
+  /** Estimated slope of `b` (the value to pass to [[unshear]]).
+    *
+    * Allocation-free (PlanePool scratch — the kernel runs on every page at
+    * 32 threads; per-page Array allocations are the known N→4N scaling
+    * killer, BASELINE.md "Engineering"): ink points are packed (y<<16|x)
+    * in one pooled pass, each candidate scores through a pooled histogram
+    * with a per-COLUMN displacement table, and the search is
+    * coarse-to-fine (step 3, then ±2 around the coarse peak — the
+    * projection score is unimodal within a 3-step neighbourhood because a
+    * 1-slope error smears rows by ~1.2 px against a 12 px pitch). */
   def estimateSlope(b: Bin): Int = {
-    // ink coordinates once; each candidate is then a cheap histogram pass
-    val n = b.inkCount
-    if (n == 0) return 0
-    val xs = new Array[Int](n)
-    val ys = new Array[Int](n)
-    var i = 0
-    var k = 0
-    while (i < b.b.length) {
-      if (b.b(i)) { xs(k) = i % b.w; ys(k) = i / b.w; k += 1 }
-      i += 1
+    val pts = PlanePool.intScratch("deskew.pts", b.b.length)
+    var n = 0
+    var y = 0
+    while (y < b.h) {
+      val base = y * b.w
+      var x = 0
+      while (x < b.w) {
+        if (b.b(base + x)) { pts(n) = (y << 16) | x; n += 1 }
+        x += 1
+      }
+      y += 1
     }
-    val hist = new Array[Int](b.h + 2 * MaxSlope * 2 + 4)
-    val off = MaxSlope * 2 + 2 // dy range is well inside ±2*MaxSlope
-    var best = 0
-    var bestScore = -1L
-    var s = -MaxSlope
-    while (s <= MaxSlope) {
+    if (n == 0) return 0
+    val off = 2 * MaxSlope + 2
+    val histLen = b.h + 2 * off
+    val hist = PlanePool.ints("deskew.hist", histLen)
+    val dyCol = PlanePool.ints("deskew.dy", b.w)
+    def score(s: Int): Long = {
+      var x = 0
+      while (x < b.w) { dyCol(x) = shearDy(x, b.w, s); x += 1 }
       java.util.Arrays.fill(hist, 0)
       var j = 0
       while (j < n) {
-        hist(ys(j) - shearDy(xs(j), b.w, s) + off) += 1
+        val p = pts(j)
+        hist((p >>> 16) - dyCol(p & 0xFFFF) + off) += 1
         j += 1
       }
-      var score = 0L
+      var sc = 0L
       var r = 0
-      while (r < hist.length) { val c = hist(r); score += c.toLong * c; r += 1 }
-      if (score > bestScore ||
-          (score == bestScore && math.abs(s) < math.abs(best))) {
-        bestScore = score
+      while (r < histLen) { val c = hist(r); sc += c.toLong * c; r += 1 }
+      sc
+    }
+    var best = 0
+    var bestScore = -1L
+    def consider(s: Int): Unit = {
+      val sc = score(s)
+      if (sc > bestScore ||
+          (sc == bestScore && (math.abs(s) < math.abs(best) ||
+            (math.abs(s) == math.abs(best) && s < best)))) {
+        bestScore = sc
         best = s
       }
-      s += 1
+    }
+    var s = -MaxSlope
+    while (s <= MaxSlope) { consider(s); s += 3 }
+    val center = best
+    var d = -2
+    while (d <= 2) {
+      val cand = center + d
+      if (cand >= -MaxSlope && cand <= MaxSlope &&
+          java.lang.Math.floorMod(cand + MaxSlope, 3) != 0) consider(cand)
+      d += 1
     }
     best
   }

@@ -197,6 +197,46 @@ object RelationalOps {
       .orderBy("doc_id", "page", "position")
   }
 
+  /** q14: the J7 token-in-crop join relationally (TATR cell 27
+    * objects_to_crops): synthetic integer tokens vs padded table crops,
+    * IoB >= 0.5 selection expressed exactly-integer (2*inter >= area),
+    * coordinates translated into the crop frame. */
+  def q14TokenCrop(s: SparkSession, dir: String): DataFrame = {
+    val tokens = table(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 53 === 0)
+      .select(
+        col("l_orderkey").as("token_id"),
+        (col("l_orderkey") % 8).as("page"),
+        (col("l_orderkey") * 19 % 600).as("tx1"),
+        (col("l_orderkey") * 31 % 800).as("ty1"))
+      .withColumn("tx2", col("tx1") + 30)
+      .withColumn("ty2", col("ty1") + 12)
+    val crops = table(s, dir, "part")
+      .filter(col("p_partkey") % 41 === 0)
+      .select(
+        col("p_partkey").as("crop_id"),
+        (col("p_partkey") % 8).as("page"),
+        (col("p_partkey") * 7 % 400).as("cx1"),
+        (col("p_partkey") * 11 % 500).as("cy1"))
+      .withColumn("cx2", col("cx1") + 200)
+      .withColumn("cy2", col("cy1") + 250)
+    tokens.join(crops, "page")
+      .withColumn("iw", greatest(lit(0L), least(col("tx2"), col("cx2")) -
+                                          greatest(col("tx1"), col("cx1"))))
+      .withColumn("ih", greatest(lit(0L), least(col("ty2"), col("cy2")) -
+                                          greatest(col("ty1"), col("cy1"))))
+      .withColumn("inter", col("iw") * col("ih"))
+      .withColumn("tarea", (col("tx2") - col("tx1")) * (col("ty2") - col("ty1")))
+      // IoB >= 0.5 ⟺ 2·inter >= token area (exact integers, no division)
+      .filter(col("inter") * 2 >= col("tarea"))
+      .select(col("crop_id"), col("token_id"),
+              (col("tx1") - col("cx1")).as("rx1"),
+              (col("ty1") - col("cy1")).as("ry1"),
+              (col("tx2") - col("cx1")).as("rx2"),
+              (col("ty2") - col("cy1")).as("ry2"))
+      .orderBy("crop_id", "token_id")
+  }
+
   /** q11: IoU best-match join (J4, test_tables.py:279-332): synthetic
     * integer boxes from two tables, best-IoU GT per prediction via window
     * argmax; all ratios kept in scaled integer space (iou_e6). */

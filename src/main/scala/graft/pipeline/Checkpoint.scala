@@ -35,9 +35,11 @@ object Checkpoint {
 
   /** Append done + lineage rows derived from a run's written OutRows.
     * The scan is column-pruned: only the small metadata columns are read,
-    * never the span payloads. */
+    * never the span payloads. Returns the docs completed this run — taken
+    * from the (tiny, cached) lineage aggregation so callers need no extra
+    * count job over the run's files. */
   def append(spark: SparkSession, ckptDir: String, snapshotId: String,
-             written: DataFrame): Unit = {
+             written: DataFrame): Long = {
     val ts = System.currentTimeMillis()
     written.select(
         lit(snapshotId).as("snapshot_id"),
@@ -46,7 +48,7 @@ object Checkpoint {
         lit(ts).as("completed_at"))
       .write.mode(SaveMode.Append).parquet(s"$ckptDir/done")
 
-    written.groupBy(col("part_id"))
+    val lineageRows = written.groupBy(col("part_id"))
       .agg(
         count(lit(1)).as("doc_count"),
         sum(col("span_count")).as("span_count"),
@@ -64,7 +66,12 @@ object Checkpoint {
         col("media_span_count"), col("text_span_count"),
         col("conf_histogram"),
         lit(ts).as("completed_at"))
-      .write.mode(SaveMode.Append).parquet(s"$ckptDir/lineage")
+      .persist()
+    lineageRows.write.mode(SaveMode.Append).parquet(s"$ckptDir/lineage")
+    val docsThisRun = lineageRows
+      .agg(coalesce(sum(col("doc_count")), lit(0L))).head().getLong(0)
+    lineageRows.unpersist()
+    docsThisRun
   }
 
   def lineage(spark: SparkSession, ckptDir: String): DataFrame =

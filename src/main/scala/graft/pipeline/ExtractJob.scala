@@ -152,8 +152,10 @@ object ExtractJob {
     out.write.mode(SaveMode.ErrorIfExists).parquet(s"$outPath/run=$runId")
 
     val written = spark.read.parquet(s"$outPath/run=$runId")
-    Checkpoint.append(spark, ckptDir, snapId, written)
-    val thisRun = written.select("doc_id").count()
+    // docsThisRun comes out of the lineage aggregation — no extra count
+    // job over the run's files (they were just written; every scan of
+    // them at 100 TB is a real job)
+    val thisRun = Checkpoint.append(spark, ckptDir, snapId, written)
     val n = Checkpoint.doneDocs(spark, ckptDir, snapId).count()
     RunSummary(snapId, n, thisRun)
   }

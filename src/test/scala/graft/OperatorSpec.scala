@@ -146,6 +146,14 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("d2 plan: hot-shingle removal is a broadcast anti-join (no shuffled " +
+       "pass over the corpus for the tiny hot-key table)") {
+    val plan = CorpusOps.d2NgramJaccard(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+           plan.linesIterator.take(40).mkString("\n"))
+  }
+
   test("dot_i64 native expression matches the reference dot product") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

@@ -50,6 +50,7 @@ object SparkEntry {
     "d7_minhash_lsh" -> ((s, d) => CorpusOps.d7MinHashLsh(s, d)),
     "d8_fingerprints" -> ((s, d) => CorpusOps.d8Fingerprints(s, d)),
     "d9_embed_dup" -> ((s, d) => CorpusOps.d9EmbedDup(s, d)),
+    "d10_dup_clusters" -> ((s, d) => CorpusOps.d10DupClusters(s, d)),
     "e1_knn_brute" -> ((s, d) => CorpusOps.e1KnnBrute(s, d)),
     "e2_ann_lsh" -> ((s, d) => CorpusOps.e2AnnLsh(s, d)),
     "e3_ann_ivf" -> ((s, d) => CorpusOps.e3AnnIvf(s, d)),
@@ -493,6 +494,35 @@ object SparkEntry {
          SELECT vec_a, vec_b, dot, na, nb FROM p
          WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
          ORDER BY vec_a, vec_b""",
+    "d10_dup_clusters" ->
+      """WITH RECURSIVE qe AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         n AS (
+           SELECT vec_id, qv,
+                  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+           FROM qe),
+         p AS (
+           SELECT a.vec_id AS va, b.vec_id AS vb,
+                  CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                    t -> t[1] * t[2])) AS BIGINT) AS dot,
+                  a.nrm AS na, b.nrm AS nb
+           FROM n a JOIN n b ON a.vec_id < b.vec_id),
+         e AS (
+           SELECT va, vb FROM p
+           WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb),
+         edges AS (
+           SELECT va AS src, vb AS dst FROM e
+           UNION ALL SELECT vb, va FROM e),
+         reach(node, r) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT edges.dst, reach.r FROM reach
+           JOIN edges ON edges.src = reach.node)
+         SELECT node AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY node ORDER BY vec_id""",
     "q12_json_extract" ->
       """SELECT event_type, COUNT(*) AS n_events,
          CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -256,6 +256,49 @@ object CorpusOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** d10: dedup-cluster resolution — the production step AFTER pair
+    * mining (d2/d6/d7/d9 emit near-dup PAIRS; a pipeline must then pick
+    * one canonical doc per connected component of the pair graph).
+    * Pregel-style iterative min-label propagation: every vector starts
+    * labeled with its own id; each round it adopts the minimum label among
+    * itself and its neighbours; converged when a round changes nothing.
+    * Rounds = graph diameter (near-dup components are tiny, so 2-4 rounds
+    * in practice); each round is one shuffle keyed by vec_id — the
+    * standard scalable shape (GraphX CC does exactly this). The driver
+    * only sees one convergence count per round, never the data.
+    * Edge set: the d9 exact cosine pairs. Oracled in DuckDB with a
+    * recursive transitive-closure CTE. */
+  def d10DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val nodes = table(s, dir, "embeddings").select(col("vec_id"))
+    val edges = d9EmbedDup(s, dir).select(col("vec_a"), col("vec_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edgesBi = edges.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(edges.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+    var labels = nodes.withColumn("lbl", col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val msgs = edgesBi.join(labels, col("src") === col("vec_id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.join(msgs, col("vec_id") === col("dst"), "left")
+        .select(col("vec_id"),
+                least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
+                  .as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.vec_id") === col("o.vec_id"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("vec_id"), col("lbl").as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   /** e3: IVF-style ANN — the scale path beside e2's LSH. A coarse
     * quantizer is trained with one k-means refinement over deterministic
     * seeded init (every (N/K)-th id of the sorted sample; at production

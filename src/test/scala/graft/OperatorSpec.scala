@@ -137,6 +137,18 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("d10: pair graph resolves to connected components with min-id " +
+       "canonicals (planted clusters)") {
+    val labels = CorpusOps.d10DupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 48)
+    // 8 planted clusters x 6 members: every member resolves to the
+    // cluster's minimum vec_id (c*6)
+    for (c <- 0 until 8; m <- 0 until 6)
+      assert(labels((c * 6 + m).toLong) == (c * 6).toLong,
+             s"vec ${c * 6 + m} labeled ${labels((c * 6 + m).toLong)}")
+  }
+
   test("e3: IVF ANN reaches >= 0.9 of brute-force recall on clusters") {
     val exact = CorpusOps.e1KnnBrute(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -51,6 +51,7 @@ object SparkEntry {
     "d8_fingerprints" -> ((s, d) => CorpusOps.d8Fingerprints(s, d)),
     "d9_embed_dup" -> ((s, d) => CorpusOps.d9EmbedDup(s, d)),
     "d10_dup_clusters" -> ((s, d) => CorpusOps.d10DupClusters(s, d)),
+    "d11_bpe_tokens" -> ((s, d) => CorpusOps.d11BpeTokens(s, d)),
     "e1_knn_brute" -> ((s, d) => CorpusOps.e1KnnBrute(s, d)),
     "e2_ann_lsh" -> ((s, d) => CorpusOps.e2AnnLsh(s, d)),
     "e3_ann_ivf" -> ((s, d) => CorpusOps.e3AnnIvf(s, d)),
@@ -494,6 +495,15 @@ object SparkEntry {
          SELECT vec_a, vec_b, dot, na, nb FROM p
          WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
          ORDER BY vec_a, vec_b""",
+    "d11_bpe_tokens" ->
+      """SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha,
+         CAST(length(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+         CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]+')) +
+              length(regexp_extract_all(text, '[0-9]+')) +
+              length(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_ish
+         FROM documents ORDER BY doc_id""",
     "d10_dup_clusters" ->
       """WITH RECURSIVE qe AS (
            SELECT vec_id,

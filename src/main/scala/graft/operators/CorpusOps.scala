@@ -256,6 +256,26 @@ object CorpusOps {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** d11: BPE-ish token statistics — the subword-tokenizer-shaped count a
+    * training pipeline budgets with (alpha runs, digit runs, punctuation
+    * marks counted separately, GPT-2-pretokenizer style) as opposed to
+    * d3's whitespace count. Pure regexp_extract_all + size: codegen'd,
+    * narrow, no shuffle until the final order. The three patterns are
+    * dialect-neutral (identical in Java and RE2 regex) so the DuckDB
+    * oracle compares exactly. */
+  def d11BpeTokens(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)"))
+          .cast("long").as("n_alpha"),
+        size(expr("regexp_extract_all(text, '[0-9]+', 0)"))
+          .cast("long").as("n_num"),
+        size(expr("regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)"))
+          .cast("long").as("n_punct"))
+      .withColumn("n_bpe_ish", col("n_alpha") + col("n_num") + col("n_punct"))
+      .orderBy("doc_id")
+
   /** d10: dedup-cluster resolution — the production step AFTER pair
     * mining (d2/d6/d7/d9 emit near-dup PAIRS; a pipeline must then pick
     * one canonical doc per connected component of the pair graph).

@@ -63,6 +63,7 @@ object SparkEntry {
     "x5_table_selective" -> ((s, _) => tableSelective(s, 48)),
     "x6_table_eval" -> ((s, _) => tableEval(s, 96)),
     "x7_eval_report" -> ((s, _) => tableEvalReport(s, 96)),
+    "x8_media_binary" -> ((s, _) => mediaBinary(s, 32)),
     "q12_json_extract" -> ((s, d) => RelationalOps.q12JsonExtract(s, d)),
     "q13_reband" -> ((s, d) => RelationalOps.q13Reband(s, d)),
     "q14_token_crop" -> ((s, d) => RelationalOps.q14TokenCrop(s, d)),
@@ -95,6 +96,55 @@ object SparkEntry {
       }
     }.toDF("doc_id", "offset", "w", "h", "otsu_t", "ink_e6", "mean_px")
       .orderBy("doc_id", "offset")
+  }
+
+  /** Multimodal opaque-binary column path: pages as a
+    * (doc_id, page, content: binary, meta: struct(w, h, fmt)) table — the
+    * shape a 100 TB media lake stores (typed metadata beside an opaque
+    * payload). Stage 1 materializes the binary column (codec encode);
+    * stage 2 consumes ONLY (content, meta): per-partition decode, a
+    * resize (2x box-mean down to logical scale), frame sampling (every
+    * 3rd page — the video-frame-sample analog) and feature extraction.
+    * The codec is the deterministic GrayPack seam (no image libs in the
+    * container); everything Spark-side — schema, column pruning onto the
+    * binary column, partitioning, batch shape — is the real thing. */
+  private def mediaBinary(spark: SparkSession, nDocs: Int): DataFrame = {
+    import spark.implicits._
+    import graft.synth.{GrayPack, PageRenderer}
+    val media = CorpusGen.inputDS(spark, nDocs).flatMap(d =>
+      d.spans.filter(_.kind == "media")
+        .sortBy(_.offset).zipWithIndex
+        .map { case (sp, pn) => (d.doc_id, pn, sp.media_ref) })
+    val binary = media.repartition(8).mapPartitions { it =>
+      it.map { case (docId, pn, ref) =>
+        val g = PageRenderer.decode(ref)
+        // pooled render plane: copy through the codec before the next
+        // decode on this thread reuses the buffer
+        (docId, pn, GrayPack.encode(g), g.w, g.h, "gp1")
+      }
+    }.toDF("doc_id", "page", "content", "w", "h", "fmt")
+      .select(col("doc_id"), col("page"), col("content"),
+              struct(col("w"), col("h"), col("fmt")).as("meta"))
+    binary
+      .filter(col("page") % 3 === 0) // frame sampling on metadata only
+      .select(col("doc_id"), col("page"), col("content"),
+              col("meta.fmt").as("fmt"))
+      .as[(String, Int, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (docId, pn, payload, fmt) =>
+          val g = graft.synth.GrayPack.decode(payload)
+          val logical = g.downsample(graft.kernel.Recognize.PageScale)
+          val t = graft.img.Otsu.threshold(logical)
+          var i = 0; var ink = 0L
+          while (i < logical.px.length) {
+            if ((logical.px(i) & 0xFF) <= t) ink += 1
+            i += 1
+          }
+          (docId, pn, fmt, logical.w, logical.h, t,
+           ink * 1000000L / logical.px.length)
+        }
+      }.toDF("doc_id", "page", "fmt", "w", "h", "otsu_t", "ink_e6")
+      .orderBy("doc_id", "page")
   }
 
   /** Classical table detection over synthetic pages with planted tables

@@ -1,0 +1,43 @@
+package graft
+
+import graft.img.Gray
+import graft.synth.{GrayPack, PageRenderer}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Opaque-binary multimodal column path: codec roundtrip + the x8 query's
+  * frame-sampled feature extraction over (content: binary, meta) rows. */
+class MediaBinarySpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("GrayPack codec roundtrips bit-exactly and rejects junk") {
+    val pooled = PageRenderer.render("F1963001", 1)
+    val g = new Gray(pooled.w, pooled.h, pooled.px.clone())
+    assert(GrayPack.decode(GrayPack.encode(g)) == g)
+    intercept[IllegalArgumentException] {
+      GrayPack.decode(Array[Byte](1, 2, 3, 4))
+    }
+    intercept[IllegalArgumentException] { // truncated payload
+      GrayPack.decode(GrayPack.encode(g).dropRight(1))
+    }
+  }
+
+  test("x8: binary-column decode + resize + frame sampling + features") {
+    val rows = SparkEntry.queries("x8_media_binary")(spark, "unused").collect()
+    assert(rows.nonEmpty)
+    // frame sampling kept every 3rd page only
+    assert(rows.forall(_.getAs[Int]("page") % 3 == 0))
+    // resize landed at logical scale (portrait or rotated)
+    assert(rows.forall { r =>
+      val (w, h) = (r.getAs[Int]("w"), r.getAs[Int]("h"))
+      (w, h) == (360, 480) || (w, h) == (480, 360)
+    })
+    // Otsu threshold separates the ink/background modes on every frame
+    // (ink noise band tops at 49+mean-blur, background starts at 215)
+    assert(rows.forall { r =>
+      val t = r.getAs[Int]("otsu_t"); t > 17 && t < 215
+    })
+    // ink density is plausible page ink, never blank or inverted
+    assert(rows.forall { r =>
+      val d = r.getAs[Long]("ink_e6"); d > 1000 && d < 500000
+    })
+  }
+}

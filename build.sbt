@@ -35,7 +35,11 @@ val driverMem: String = {
       if (req.endsWith("g")) req.dropRight(1).toDouble
       else if (req.endsWith("m")) req.dropRight(1).toDouble / 1024.0
       else req.toDouble / (1024.0 * 1024 * 1024)
-    } catch { case _: NumberFormatException => 16.0 }
+    } catch {
+      // unparseable (e.g. '1t', 'abc') must fall back to the DEFAULT, not
+      // pass the raw request through to -Xmx
+      case _: NumberFormatException => -1.0
+    }
   if (gb > 16.0 || gb <= 0.0) "16g" else req
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

@@ -30,8 +30,18 @@ import org.apache.spark.sql.SparkSession
   *    leaving the last printed JSON line standing;
   *  - stale /dev/shm shuffle dirs from killed runs are deleted up front
   *    (tmpfs pages count against host RAM).
+  *
+  * Stdout carries up to TWO JSON lines (the phase-1 scaling line, then
+  * the final line repeating it plus per-query timings) — the LAST
+  * parseable line is authoritative; the first exists so a killed query
+  * phase still leaves the scaling artifact.
   */
 object Bench {
+
+  /** The currently running pinned child, so the deadline watchdog can
+    * kill it before halting — an orphaned child holds a fully committed
+    * pretouched heap and pinned cores past the parent's death. */
+  @volatile private var liveChild: Process = null
 
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -74,8 +84,13 @@ object Bench {
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
     val p = pb.start()
-    val out = scala.io.Source.fromInputStream(p.getInputStream).getLines().toVector
-    p.waitFor()
+    liveChild = p
+    val out =
+      try {
+        val o = scala.io.Source.fromInputStream(p.getInputStream).getLines().toVector
+        p.waitFor()
+        o
+      } finally liveChild = null
     out.find(_.startsWith(marker)) match {
       case Some(line) =>
         line.stripPrefix(marker).trim.split(" ").toSeq
@@ -114,6 +129,8 @@ object Bench {
         System.err.println(
           s"[bench] watchdog: deadline ${deadlineSec}s hit, halting " +
           "(last printed JSON line stands)")
+        val child = liveChild
+        if (child != null) child.destroyForcibly() // no orphaned pinned JVM
         Runtime.getRuntime.halt(0)
       }
     })

@@ -65,7 +65,10 @@ object Main {
       val wl = spark.read.option("header", "true").csv(wlCsv)
       val res = ExtractJob.tableDataSelective(spark, df.as[graft.core.Doc], wl)
       res.write.mode("overwrite").parquet(out)
-      println(s"TABLES snapshot=$snapId rows=${spark.read.parquet(out).count()}")
+      // warn-and-drop accounting over the WRITTEN output (no recompute)
+      val written = spark.read.parquet(out)
+      ExtractJob.logUnmatched(written, wl, "tables")
+      println(s"TABLES snapshot=$snapId rows=${written.count()}")
       spark.stop()
 
     case "reocr" :: in :: out :: wlCsv :: Nil =>
@@ -75,7 +78,9 @@ object Main {
       val wl = spark.read.option("header", "true").csv(wlCsv)
       ExtractJob.reOcrSelective(spark, df.as[graft.core.Doc], wl)
         .write.mode("overwrite").parquet(out)
-      println(s"REOCR snapshot=$snapId rows=${spark.read.parquet(out).count()}")
+      val written = spark.read.parquet(out)
+      ExtractJob.logUnmatched(written, wl, "reocr")
+      println(s"REOCR snapshot=$snapId rows=${written.count()}")
       spark.stop()
 
     case "regions" :: in :: out :: Nil =>

@@ -217,12 +217,13 @@ object SparkEntry {
     import spark.implicits._
     import graft.synth.PageRenderer
     val inputs = CorpusGen.inputDS(spark, nDocs)
+    // rotated pages included: the pass orientation-corrects before cell
+    // detection, and the GT boxes live in the upright frame
     val wl = inputs.flatMap { d =>
       val nMedia = d.spans.count(_.kind == "media")
       (1 until nMedia).flatMap { pn =>
         val lay = PageRenderer.layoutFor(d.doc_id, pn)
-        if (lay.table.isDefined &&
-            PageRenderer.storedRotation(d.doc_id, pn) == 0) {
+        if (lay.table.isDefined) {
           val gt = lay.table.get.bbox2x
           Some((d.doc_id, pn, false,
                 s"[[${gt.x1},${gt.y1},${gt.x2},${gt.y2}]]"))
@@ -621,7 +622,7 @@ object SparkEntry {
                   (o_orderkey * 7) % 300 AS x1,
                   (o_orderkey * 11) % 400 AS y1,
                   (o_orderkey * 11) % 400 + 20 + o_orderkey % 15 AS y2,
-                  o_orderkey % 100 AS position
+                  o_orderkey AS position
            FROM orders WHERE o_orderkey % 13 = 0),
          s AS (
            SELECT doc_id, page,

@@ -93,12 +93,19 @@ object LayoutSegment {
   private def indentRuns(block: Vector[TextLine]): Vector[Vector[TextLine]] = {
     val minX = block.map(_.bbox.x1).min
     val flags = block.map(_.bbox.x1 - minX >= IndentMin)
-    if (!flags.contains(true)) return Vector(block)
+    // single-line indented runs are NOT split out (a lone indented line —
+    // e.g. a paragraph's stray start — stays with its Text neighbours;
+    // only >= 2-line runs can become ListItem blocks)
+    val runFlags = Array.tabulate(block.length) { i =>
+      flags(i) &&
+      ((i > 0 && flags(i - 1)) || (i < block.length - 1 && flags(i + 1)))
+    }
+    if (!runFlags.contains(true)) return Vector(block)
     val out = Vector.newBuilder[Vector[TextLine]]
     var i = 0
     while (i < block.length) {
       var j = i
-      while (j < block.length && flags(j) == flags(i)) j += 1
+      while (j < block.length && runFlags(j) == runFlags(i)) j += 1
       out += block.slice(i, j)
       i = j
     }
@@ -113,17 +120,25 @@ object LayoutSegment {
     * ListItem (indented run of >= 2 lines) → SectionHeader (single short
     * line) → Text. Scores are integer-ratio rule strengths (deterministic
     * doubles), carried in the top_k map with Text as the runner-up. */
+  /** Rule strength floored at 0.51: a fired rule OWNS the label, so its
+    * top_k score must strictly beat the Text runner-up even at the rule's
+    * admission boundary (e.g. a 0.55·colW header line or an exactly
+    * IndentMin-indented run would otherwise score <= 0.5 and the top_k
+    * argmax would contradict the label column). */
+  private def ruleScore(e2: Long): Double =
+    math.min(100L, math.max(51L, e2)).toDouble / 100.0
+
   private def label(ls: Vector[TextLine], colW: Int, colMinX: Int): Block = {
     val bb = union(ls)
     val numeric = ls.count(l => l.text.nonEmpty && l.text.forall(_.isDigit))
     if (numeric == ls.length && numeric >= TableMinNumeric) {
-      val s = math.min(100L, 100L * numeric / 6).toDouble / 100.0
+      val s = ruleScore(100L * numeric / 6)
       (bb, "Table", s, Map("Table" -> s, "Text" -> (1.0 - s)))
     } else if (ls.length >= 2 && bb.x1 - colMinX >= IndentMin) {
-      val s = math.min(100L, 100L * (bb.x1 - colMinX) / 30).toDouble / 100.0
+      val s = ruleScore(100L * (bb.x1 - colMinX) / 30)
       (bb, "ListItem", s, Map("ListItem" -> s, "Text" -> (1.0 - s)))
     } else if (ls.length == 1 && bb.w.toLong * 100 <= 55L * colW) {
-      val s = (100L - 100L * bb.w / colW).toDouble / 100.0
+      val s = ruleScore(100L - 100L * bb.w / colW)
       (bb, "SectionHeader", s, Map("SectionHeader" -> s, "Text" -> (1.0 - s)))
     } else (bb, "Text", 1.0, Map("Text" -> 1.0))
   }

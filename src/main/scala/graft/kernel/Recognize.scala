@@ -39,25 +39,52 @@ object Recognize {
     def glyphCount: Long = confHist.sum
   }
 
-  /** Full media-span path: stored (possibly rotated) 2x grayscale in,
-    * recognized text out. */
-  def recognizeStored(stored: Gray, crop: Crop): PageResult = {
+  /** Shared decode preamble (T1/T11/T4/T5 + deskew): stored 2x grayscale →
+    * binarized, deskewed, upright logical plane. Small-angle deskew runs
+    * BEFORE orientation scoring on portrait pages (the shear lives in the
+    * page frame and degrades glyph-template hits) and AFTER the 90/270
+    * rotation on landscape pages. One implementation for both the span
+    * path (recognizeStored) and full-page layout (segmentPageFull) — the
+    * deskew-ordering policy and pool choreography must never diverge. */
+  private def uprightBin(stored: Gray): Bin = {
     import graft.img.PlanePool
     val n = stored.px.length / (PageScale * PageScale)
     val logical = stored.downsample(PageScale,
       PlanePool.bytes("k.ds", n)) // resize-to-height analog (T1)
     val bin = Otsu.binarizeInv(logical, PlanePool.bools("k.bin", n)) // T11
-    // small-angle deskew (north_star): portrait pages before orientation
-    // scoring (shear is in the page frame); landscape pages after the
-    // 90/270 rotation brings them upright
     val pre =
       if (bin.w < bin.h) graft.img.Deskew.unshear(bin, PlanePool.bools("k.deskew", n))
       else bin
     val angle = detectOrientation(pre)           // T4 (classical OSD)
     val upright0 = rotate(pre, angle, PlanePool.bools("k.upright", n)) // T5
-    val upright =
-      if (bin.w < bin.h) upright0
-      else graft.img.Deskew.unshear(upright0, PlanePool.bools("k.deskew", n))
+    if (bin.w < bin.h) upright0
+    else graft.img.Deskew.unshear(upright0, PlanePool.bools("k.deskew", n))
+  }
+
+  /** Orientation-correct a stored 2x gray page (the selective table pass
+    * works on gray planes whose work-list boxes live in the UPRIGHT
+    * frame): detect the angle on the binarized logical plane, rotate the
+    * gray plane by it. Keeps the reference's 180 no-op quirk. */
+  def uprightGray(stored: Gray): Gray = {
+    import graft.img.PlanePool
+    val n = stored.px.length / (PageScale * PageScale)
+    val logical = stored.downsample(PageScale, PlanePool.bytes("k.ug.ds", n))
+    val bin = Otsu.binarizeInv(logical, PlanePool.bools("k.ug.bin", n))
+    detectOrientation(bin) match {
+      case 0 => stored
+      case 180 =>
+        System.err.println(s" Wrong rotation asked for 180")
+        stored
+      case a =>
+        stored.rotateCCW(a, PlanePool.bytes("k.ug.rot", stored.px.length))
+    }
+  }
+
+  /** Full media-span path: stored (possibly rotated) 2x grayscale in,
+    * recognized text out. */
+  def recognizeStored(stored: Gray, crop: Crop): PageResult = {
+    import graft.img.PlanePool
+    val upright = uprightBin(stored)
     val body = upright.crop(
       BBox(crop.left, crop.top,
            upright.w - crop.right, upright.h - crop.bottom),
@@ -87,19 +114,8 @@ object Recognize {
     * coordinates in reading order: PageHeader, body blocks, PageFooter;
     * all recognized lines). */
   def segmentPageFull(stored: Gray, crop: Crop): (Vector[graft.core.LayoutBox], Vector[TextLine]) = {
-    import graft.img.PlanePool
     import graft.core.LayoutBox
-    val n = stored.px.length / (PageScale * PageScale)
-    val logical = stored.downsample(PageScale, PlanePool.bytes("k.ds", n))
-    val bin = Otsu.binarizeInv(logical, PlanePool.bools("k.bin", n))
-    val pre =
-      if (bin.w < bin.h) graft.img.Deskew.unshear(bin, PlanePool.bools("k.deskew", n))
-      else bin
-    val angle = detectOrientation(pre)
-    val upright0 = rotate(pre, angle, PlanePool.bools("k.upright", n))
-    val upright =
-      if (bin.w < bin.h) upright0
-      else graft.img.Deskew.unshear(upright0, PlanePool.bools("k.deskew", n))
+    val upright = uprightBin(stored)
     val pr = segmentAndClassify(upright)
     val footerStart = upright.h - crop.bottom
     val (header, rest0) = pr.lines.partition(_.bbox.y2 <= crop.top)

@@ -223,7 +223,15 @@ object CorpusOps {
     * fully distributed; there is no all-pairs broadcast nested-loop
     * anywhere, pinned by a plan-shape test), and the integer predicate is
     * the exact per-candidate verifier. Same shape as e2; the only
-    * difference is verifying a threshold instead of ranking top-k. */
+    * difference is verifying a threshold instead of ranking top-k.
+    *
+    * Completeness caveat: the PREDICATE is exact but the LSH-blocked pair
+    * space is probabilistic — a boundary pair escapes all 16 tables with
+    * p ≈ 0.60^16 ≈ 3e-4 at cos = 0.40. Recall is verified 100% against
+    * the all-pairs predicate on the driver test data (both sf dirs,
+    * OperatorSpec); on other corpora/thresholds, tables (recall) and bits
+    * (pruning) are the tuning dials, with the all-pairs form as the audit
+    * oracle. */
   def d9EmbedDup(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val q = quantized(s, dir)
@@ -294,22 +302,33 @@ object CorpusOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edgesBi = edges.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .union(edges.select(col("vec_b").as("src"), col("vec_a").as("dst")))
-    var labels = nodes.withColumn("lbl", col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Each round: (1) neighbour-min step, (2) pointer-jump step
+    // (lbl := lbl(lbl)) — pointer doubling makes convergence logarithmic
+    // in component diameter instead of linear (a chain of near-dups
+    // otherwise needs diameter rounds — observed blowing the query budget
+    // at sf0.1). localCheckpoint truncates the plan lineage every round
+    // (the other iterative-algorithm killer: each round's plan otherwise
+    // embeds all previous rounds); production would use a reliable
+    // checkpoint dir.
+    var labels = nodes.withColumn("lbl", col("vec_id")).localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < 25) {
       val msgs = edgesBi.join(labels, col("src") === col("vec_id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(msgs, col("vec_id") === col("dst"), "left")
+      val stepped = labels.join(msgs, col("vec_id") === col("dst"), "left")
         .select(col("vec_id"),
                 least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
                   .as("lbl"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.vec_id") === col("o.vec_id"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist()
+      val next = stepped.as("a")
+        .join(stepped.select(col("vec_id").as("p_id"), col("lbl").as("p_lbl")),
+              col("a.lbl") === col("p_id"), "left")
+        .select(col("a.vec_id").as("vec_id"),
+                coalesce(col("p_lbl"), col("a.lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val changed = next.withColumnRenamed("lbl", "new_lbl")
+        .join(labels, Seq("vec_id"))
+        .filter(col("new_lbl") =!= col("lbl")).count()
       labels = next
       converged = changed == 0
       rounds += 1

@@ -191,7 +191,12 @@ object RelationalOps {
         (col("o_orderkey") * 7 % 300).as("x1"),
         (col("o_orderkey") * 11 % 400).as("y1"))
       .withColumn("y2", col("y1") + 20 + col("region_id") % 15)
-      .withColumn("position", col("region_id") % 100)
+      // position must be UNIQUE per (doc, page) — it is the final window
+      // tiebreaker in reorder(); a non-unique synthetic position (e.g.
+      // region_id % 100) leaves full sort-key ties (orderkeys o and
+      // o+31200 collide on every other derived column) and ROW_NUMBER
+      // then orders them engine-arbitrarily, breaking the oracle compare
+      .withColumn("position", col("region_id"))
     graft.pipeline.BandReorder.reorder(regions)
       .select(col("doc_id"), col("page"), col("position"), col("region_id"))
       .orderBy("doc_id", "page", "position")

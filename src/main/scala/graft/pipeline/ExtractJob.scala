@@ -194,17 +194,20 @@ object ExtractJob {
     * result emits >= 1 row per matched (doc, page), so work-list rows
     * absent from the result are exactly the ones the inner join dropped
     * (out-of-range page index, unknown doc — the reference warns and skips
-    * these, pdf_parser.py:205-209). The result is persisted so the report
-    * does not recompute the corpus scan; callers get the dropped count on
-    * stderr instead of a silent shrink (a 1-based-page-number work-list now
-    * announces itself instead of quietly halving). */
-  private def withUnmatchedWarning(res: DataFrame, wl: DataFrame,
-                                   pass: String): DataFrame = {
-    val cached = res.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dropped = wl.select(col("doc_id"), col("page_number"))
-      .join(cached.select(col("doc_id"), col("page_number")),
+    * these, pdf_parser.py:205-209). Lazy anti-join — call [[logUnmatched]]
+    * on the MATERIALIZED result (e.g. the written parquet, as the Main
+    * subcommands do) so the accounting never re-runs the corpus scan. */
+  def unmatchedWorklist(result: DataFrame, worklist: DataFrame): DataFrame =
+    worklist.select(col("doc_id"), col("page_number").cast("int"))
+      .join(result.select(col("doc_id"), col("page_number")),
             Seq("doc_id", "page_number"), "left_anti")
-    val droppedRows = dropped.limit(21).collect()
+
+  /** Log dropped work-list rows to stderr; returns how many were shown
+    * (capped at 20, with an ellipsis marker beyond). A 1-based-page-number
+    * work-list announces itself here instead of quietly halving. */
+  def logUnmatched(result: DataFrame, worklist: DataFrame,
+                   pass: String): Long = {
+    val droppedRows = unmatchedWorklist(result, worklist).limit(21).collect()
     if (droppedRows.nonEmpty) {
       val shown = droppedRows.take(20)
         .map(r => s"(${r.get(0)},${r.get(1)})").mkString(", ")
@@ -214,7 +217,7 @@ object ExtractJob {
         s"$shown$more — page_number is the 0-based media-span ordinal " +
         "(cover = 0); a 1-based work-list shifts every page")
     }
-    cached
+    droppedRows.length.toLong
   }
 
   def reOcrSelective(spark: SparkSession, input: Dataset[Doc],
@@ -235,7 +238,7 @@ object ExtractJob {
           (docId, pn, ref, pr.text, pr.glyphCount)
         }
       }.toDF("doc_id", "page_number", "media_ref", "text", "glyph_count")
-    withUnmatchedWarning(res, wl, "reOcrSelective")
+    res
   }
 
   /** Selective table-structure pass — the Spark lifecycle equivalent of
@@ -286,7 +289,12 @@ object ExtractJob {
           require(fullPage ^ boxes.nonEmpty,
             s"work-list row ($docId, $pn) must set exactly one of " +
             "full_page / table_boxes")
-          val img = store.decode(ref)
+          // work-list boxes live in the UPRIGHT stored frame (the
+          // reference runs the same preprocessing prefix — rotation
+          // correction included — before structure recognition, §3.3);
+          // orientation-correct the gray page so boxes, detected cells
+          // and crop-frame tokens all share that frame
+          val img = graft.kernel.Recognize.uprightGray(store.decode(ref))
           val crop = graft.kernel.CropConfig.lookup(docId)
           // page OCR tokens for the J7 crop remap, scaled to the stored
           // (2x) frame the work-list boxes live in
@@ -313,6 +321,6 @@ object ExtractJob {
       }.toDF("doc_id", "page_number", "table_idx",
              "x1", "y1", "x2", "y2", "n_cells", "grid",
              "n_tokens", "tokens")
-    withUnmatchedWarning(res, wl, "tableDataSelective")
+    res
   }
 }

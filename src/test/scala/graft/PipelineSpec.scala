@@ -203,6 +203,30 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assertThrows[org.apache.spark.SparkException] {
       ExtractJob.tableDataSelective(spark, inputs.toDS(), bad).collect()
     }
+    // a ROTATED stored page: the pass orientation-corrects before cell
+    // detection, so upright-frame GT boxes recover the planted grid
+    val rotHit = inputs.iterator.flatMap { d =>
+      val nMedia = d.spans.count(_.kind == "media")
+      (1 until nMedia).collectFirst {
+        case p if PageRenderer.layoutFor(d.doc_id, p).table.isDefined &&
+                  PageRenderer.storedRotation(d.doc_id, p) != 0 =>
+          (d.doc_id, p, PageRenderer.layoutFor(d.doc_id, p).table.get)
+      }
+    }.next()
+    val (rDoc, rPn, rSpec) = rotHit
+    val rgt = rSpec.bbox2x
+    val rwl = Seq((rDoc, rPn, false,
+                   s"[[${rgt.x1},${rgt.y1},${rgt.x2},${rgt.y2}]]"))
+      .toDF("doc_id", "page_number", "full_page", "table_boxes")
+    val rRows = ExtractJob.tableDataSelective(spark, inputs.toDS(), rwl)
+      .collect()
+    assert(rRows.length == 1)
+    val rWant = Vector.tabulate(rSpec.rows, rSpec.cols)((i, j) =>
+      PageRenderer.cellValue(rDoc, rPn, i, j).toString)
+    val rGrid = rRows.head
+      .getAs[scala.collection.Seq[scala.collection.Seq[String]]]("grid")
+    assert(rGrid.map(_.toVector).toVector == rWant,
+           s"rotated-page grid mismatch: $rGrid")
   }
 
   test("selective page re-OCR: listed pages only, invalid indices dropped") {
@@ -247,16 +271,19 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains(doc.doc_id) && msgs.contains("exactly one"), msgs)
-    // unmatched (doc, page) rows are reported on stderr, never silent
+    // unmatched (doc, page) rows are reported via the warn-and-drop
+    // accounting (lazy anti-join + logUnmatched, as Main tables/reocr
+    // run it on the written output), never silently
+    val wl99 = Seq((doc.doc_id, 99)).toDF("doc_id", "page_number")
+    val res = ExtractJob.reOcrSelective(spark, inputs.toDS(), wl99)
+    assert(res.collect().isEmpty)
     val buf = new java.io.ByteArrayOutputStream()
     val old = System.err
     System.setErr(new java.io.PrintStream(buf, true))
-    val rows =
-      try {
-        val wl99 = Seq((doc.doc_id, 99)).toDF("doc_id", "page_number")
-        ExtractJob.reOcrSelective(spark, inputs.toDS(), wl99).collect()
-      } finally System.setErr(old)
-    assert(rows.isEmpty)
+    val n =
+      try ExtractJob.logUnmatched(res, wl99, "reocr-test")
+      finally System.setErr(old)
+    assert(n == 1)
     assert(buf.toString.contains("matched no page"),
            s"missing warn: ${buf.toString.take(400)}")
   }

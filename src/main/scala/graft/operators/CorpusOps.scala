@@ -316,10 +316,14 @@ object CorpusOps {
     while (!converged && rounds < 25) {
       val msgs = edgesBi.join(labels, col("src") === col("vec_id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
+      // checkpoint BEFORE the self-join: `stepped` feeds both sides, and
+      // without materialization the neighbour-min shuffle would execute
+      // twice per round
       val stepped = labels.join(msgs, col("vec_id") === col("dst"), "left")
         .select(col("vec_id"),
                 least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
                   .as("lbl"))
+        .localCheckpoint(true)
       val next = stepped.as("a")
         .join(stepped.select(col("vec_id").as("p_id"), col("lbl").as("p_lbl")),
               col("a.lbl") === col("p_id"), "left")

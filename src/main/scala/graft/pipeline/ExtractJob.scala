@@ -202,22 +202,25 @@ object ExtractJob {
       .join(result.select(col("doc_id"), col("page_number")),
             Seq("doc_id", "page_number"), "left_anti")
 
-  /** Log dropped work-list rows to stderr; returns how many were shown
-    * (capped at 20, with an ellipsis marker beyond). A 1-based-page-number
-    * work-list announces itself here instead of quietly halving. */
+  /** Log dropped work-list rows to stderr (first 20 shown); returns the
+    * EXACT dropped count. A 1-based-page-number work-list announces
+    * itself here instead of quietly halving. */
   def logUnmatched(result: DataFrame, worklist: DataFrame,
                    pass: String): Long = {
-    val droppedRows = unmatchedWorklist(result, worklist).limit(21).collect()
-    if (droppedRows.nonEmpty) {
-      val shown = droppedRows.take(20)
+    val dropped = unmatchedWorklist(result, worklist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = dropped.count()
+    if (n > 0) {
+      val shown = dropped.limit(20).collect()
         .map(r => s"(${r.get(0)},${r.get(1)})").mkString(", ")
-      val more = if (droppedRows.length > 20) ", ..." else ""
+      val more = if (n > 20) ", ..." else ""
       System.err.println(
-        s"[graft] $pass: work-list rows matched no page and were dropped: " +
-        s"$shown$more — page_number is the 0-based media-span ordinal " +
-        "(cover = 0); a 1-based work-list shifts every page")
+        s"[graft] $pass: $n work-list rows matched no page and were " +
+        s"dropped: $shown$more — page_number is the 0-based media-span " +
+        "ordinal (cover = 0); a 1-based work-list shifts every page")
     }
-    droppedRows.length.toLong
+    dropped.unpersist()
+    n
   }
 
   def reOcrSelective(spark: SparkSession, input: Dataset[Doc],

@@ -15,8 +15,12 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // queries whose CONSTRUCTION already runs Spark jobs (iterative
+    // algorithms): only inspect when explicitly named — a plan audit must
+    // not execute minutes of clustering
+    val eager = Set("d10_dup_clusters")
     for ((name, fn) <- graft.SparkEntry.queries.toSeq.sortBy(_._1)
-         if names.isEmpty || names(name)) {
+         if (names.isEmpty && !eager(name)) || names(name)) {
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
         val joins = plan.linesIterator

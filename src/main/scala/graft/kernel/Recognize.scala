@@ -113,6 +113,10 @@ object Recognize {
     * live, joradp_parse.py:13-82). Returns (labeled boxes in upright page
     * coordinates in reading order: PageHeader, body blocks, PageFooter;
     * all recognized lines). */
+  /** A `Caption` is a thin (single-line) block starting within this many
+    * px below a Picture's bottom edge. */
+  val CaptionGapMax = 16
+
   def segmentPageFull(stored: Gray, crop: Crop): (Vector[graft.core.LayoutBox], Vector[TextLine]) = {
     import graft.core.LayoutBox
     val upright = uprightBin(stored)
@@ -121,13 +125,40 @@ object Recognize {
     val (header, rest0) = pr.lines.partition(_.bbox.y2 <= crop.top)
     val (footer, body) = rest0.partition(_.bbox.y1 >= footerStart)
     val bodyBlocks = LayoutSegment.segment(body, upright.w, upright.h)
+    // Picture regions: large SOLID components (fill >= 1/2 of their box —
+    // a ruled table grid is hollow and a separator rule is thin, so
+    // neither qualifies); the text path already gated these out via the
+    // glyph-size filter
+    val pictures = graft.img.ConnectedComponents.label(upright)
+      .filter(c => c.bbox.w >= 30 && c.bbox.h >= 15 &&
+                   c.area.toLong * 2 >= c.bbox.area)
+      .map(_.bbox).sortBy(b => (b.y1, b.x1)).toVector
+    // caption relabel: a thin block starting right under a picture
+    val relabeled = bodyBlocks.map { b =>
+      val isCaption = b.bbox.h <= GlyphFont.GlyphH + 3 &&
+        pictures.exists(p => b.bbox.y1 >= p.y2 &&
+                             b.bbox.y1 - p.y2 <= CaptionGapMax &&
+                             b.bbox.x1 <= p.x2 && b.bbox.x2 >= p.x1)
+      if (isCaption)
+        b.copy(label = "Caption", confidence = 0.9,
+               topK = Map("Caption" -> 0.9, "Text" -> 0.1))
+      else b
+    }
+    // pictures only occur on single-column fixture pages whose body
+    // blocks are already y-ordered, so a (y, x) merge preserves reading
+    // order; with no pictures the column-aware block order is kept as-is
+    val bodyAll: Vector[LayoutBox] =
+      if (pictures.isEmpty) relabeled
+      else (relabeled ++ pictures.map(p =>
+              LayoutBox(p, "Picture", 0, 1.0, Map("Picture" -> 1.0))))
+             .sortBy(b => (b.bbox.y1, b.bbox.x1))
     def band(ls: Seq[TextLine], label: String, pos: Int): LayoutBox =
       LayoutBox(ls.map(_.bbox).reduce(_.union(_)), label, pos, 1.0,
                 Map(label -> 1.0))
     val out = Vector.newBuilder[LayoutBox]
     var pos = 0
     if (header.nonEmpty) { out += band(header, "PageHeader", pos); pos += 1 }
-    for (b <- bodyBlocks) { out += b.copy(position = pos); pos += 1 }
+    for (b <- bodyAll) { out += b.copy(position = pos); pos += 1 }
     if (footer.nonEmpty) { out += band(footer, "PageFooter", pos); pos += 1 }
     (out.result(), pr.lines)
   }

@@ -12,7 +12,7 @@ object CorpusGen {
 
   /** Bump when generator output changes — benchmark corpus caches key on
     * it so a stale on-disk corpus is never silently reused. */
-  val GenVersion = 4 // v3: section-header fixtures; v4: small-skew fixtures
+  val GenVersion = 5 // v3: section headers; v4: small skew; v5: figures
 
   private val LowerWords: Vector[String] = Vector(
     "article", "decret", "ministre", "republique", "journal", "officiel",

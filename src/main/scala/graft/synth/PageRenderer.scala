@@ -149,19 +149,45 @@ object PageRenderer {
     }
   }
 
+  /** Figure fixture (Picture + Caption taxonomy classes,
+    * ocr_processor.py:78-97): ~1 in 6 eligible single-column pages carry
+    * a solid figure block spanning line slots [f0, f0+3) and a SHORT
+    * caption line at slot f0+3 (extra whitespace below it so the caption
+    * segments as its own block). The figure draws no text: its line slots
+    * are absent from the golden; the kernel's glyph-size gate excludes the
+    * block from the text path and the full-page segmenter surfaces it as
+    * a `Picture` region with the caption relabeled `Caption`. */
+  val FigureLines = 3
+  val FigureW = 140
+  def figureSpec(docId: String, page: Int): Option[Int] = {
+    val layout = layoutFor(docId, page)
+    if (layout.table.nonEmpty || layout.twoCol.nonEmpty ||
+        layout.textLines < 12 ||
+        sectionHeaderLine(docId, page).isDefined ||
+        nestedBlock(docId, page).isDefined) None
+    else {
+      val rng = new Rng(pageSeed(docId, page) ^ 0xF16A7E5L)
+      if (rng.nextInt(6) != 0) None
+      else Some(2 + rng.nextInt(layout.textLines - FigureLines - 5))
+    }
+  }
+
   /** y of body line `i` on a single-column page — the one place the
-    * section-header extra gaps (one LinePitch of whitespace above AND
-    * below the header, so it segments as its own block) are accounted for;
-    * shared by the text drawer, the hrule placer and the speck placer so
-    * fixtures never collide. */
+    * fixture whitespace (section-header gaps above/below; the gap below a
+    * figure caption) is accounted for; shared by the text drawer, the
+    * hrule placer and the speck placer so fixtures never collide. */
   def lineY(docId: String, page: Int, i: Int): Int = {
     val crop = CropConfig.lookup(docId)
-    val extra = sectionHeaderLine(docId, page) match {
+    val sh = sectionHeaderLine(docId, page) match {
       case Some(h) if i > h => 2 * GlyphFont.LinePitch
       case Some(h) if i == h => GlyphFont.LinePitch
       case _ => 0
     }
-    crop.top + BodyYPad + i * GlyphFont.LinePitch + extra
+    val fig = figureSpec(docId, page) match {
+      case Some(f0) if i > f0 + FigureLines => GlyphFont.LinePitch
+      case _ => 0
+    }
+    crop.top + BodyYPad + i * GlyphFont.LinePitch + sh + fig
   }
 
   /** Leading-gap indices carrying a full-width separator rule
@@ -169,7 +195,8 @@ object PageRenderer {
     * pages. The text path must gate these out via the graphics filter. */
   def hruleLines(docId: String, page: Int): Vector[Int] = {
     val layout = layoutFor(docId, page)
-    if (layout.table.nonEmpty || layout.twoCol.nonEmpty) return Vector.empty
+    if (layout.table.nonEmpty || layout.twoCol.nonEmpty ||
+        figureSpec(docId, page).nonEmpty) return Vector.empty
     val hr = new Rng(pageSeed(docId, page) ^ 0x408117E5L)
     if (hr.nextInt(6) != 0 || layout.textLines <= 4) Vector.empty
     else Vector.fill(hr.between(1, 2))(1 + hr.nextInt(layout.textLines - 2))
@@ -199,6 +226,35 @@ object PageRenderer {
     1 + java.lang.Math.floorMod(h, 999L).toInt
   }
 
+  /** Single-column body content as (slot, indent, text) triples — slot
+    * indexes into [[lineY]]; figure slots are ABSENT (the figure draws no
+    * text and contributes nothing to the golden). */
+  def bodySlots(docId: String, page: Int): Vector[(Int, Int, String)] = {
+    val crop = CropConfig.lookup(docId)
+    val rng = new Rng(pageSeed(docId, page))
+    val layout = layoutFor(docId, page)
+    val innerW = LogicalW - crop.left - crop.right - 2 * BodyXPad
+    val nested = nestedBlock(docId, page)
+    val hdr = sectionHeaderLine(docId, page)
+    val fig = figureSpec(docId, page)
+    (0 until layout.textLines).flatMap { i =>
+      if (fig.exists(f0 => i >= f0 && i < f0 + FigureLines)) None
+      else {
+        val indent = nested match {
+          case Some((s0, len, ind)) if i >= s0 && i < s0 + len => ind
+          case _ => 0
+        }
+        // section-header fixture: short line (<= 40% body width);
+        // figure caption: short line (<= 50%) right below the figure
+        val maxW =
+          if (hdr.contains(i)) (innerW * 2) / 5
+          else if (fig.contains(i - FigureLines)) innerW / 2
+          else innerW - indent
+        Some((i, indent, genLine(rng, maxW)))
+      }
+    }.toVector
+  }
+
   /** The body lines of a page — this is the golden text for a media span.
     * Two-column pages return column 1's lines then column 2's (reading
     * order). Table pages append the cell digits in (y, x) reading order —
@@ -214,17 +270,7 @@ object PageRenderer {
         val colW = (innerW - gutterWFor(docId, page)) / 2
         Vector.fill(n1 + n2)(genLine(rng, colW))
       case None =>
-        val nested = nestedBlock(docId, page)
-        val hdr = sectionHeaderLine(docId, page)
-        val textLines = Vector.tabulate(layout.textLines) { i =>
-          val indent = nested match {
-            case Some((s0, len, ind)) if i >= s0 && i < s0 + len => ind
-            case _ => 0
-          }
-          // section-header fixture: short line (<= 40% body width)
-          val maxW = if (hdr.contains(i)) (innerW * 2) / 5 else innerW - indent
-          genLine(rng, maxW)
-        }
+        val textLines = bodySlots(docId, page).map(_._3)
         val cellLines = layout.table.toVector.flatMap { t =>
           for {
             i <- 0 until t.rows
@@ -324,14 +370,20 @@ object PageRenderer {
         }
       case None =>
         // bodyLines appends cell-digit golden lines on table pages; only
-        // the text block is drawn here (cells drawn in the table loop)
-        val nested = nestedBlock(docId, page)
-        for ((ln, i) <- lines.take(layout.textLines).zipWithIndex) {
-          val indent = nested match {
-            case Some((s0, len, ind)) if i >= s0 && i < s0 + len => ind
-            case _ => 0
+        // the text slots are drawn here (cells drawn in the table loop,
+        // figure slots carry the solid Picture block instead of text)
+        for ((slot, indent, ln) <- bodySlots(docId, page))
+          drawLine(mask, ln, x0 + indent, lineY(docId, page, slot))
+        for (f0 <- figureSpec(docId, page)) {
+          val fy1 = lineY(docId, page, f0)
+          val fy2 = lineY(docId, page, f0 + FigureLines - 1) + GlyphFont.GlyphH
+          val fx1 = x0 + 30
+          var fy = fy1
+          while (fy < fy2) {
+            var fx = fx1
+            while (fx < fx1 + FigureW) { mask(fy * LogicalW + fx) = true; fx += 1 }
+            fy += 1
           }
-          drawLine(mask, ln, x0 + indent, lineY(docId, page, i))
         }
         // horizontal-rule fixture (`Ligne Horizontale` failure class,
         // FIXTURES.md §3): full-width separator rules in leading gaps on

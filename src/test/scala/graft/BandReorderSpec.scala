@@ -26,22 +26,30 @@ class BandReorderSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq == Seq((0, "LEFT"), (1, "RIGHT"), (2, "BELOW")), got.toSeq)
   }
 
-  test("correctly ordered pages are fixpoints of the pass") {
+  test("correctly ordered pages are fixpoints of the pass (reading order " +
+       "preserved; positions may densify over Picture gaps)") {
     import spark.implicits._
     val inputs = CorpusGen.inputDS(spark, 6)
     val regions = BandReorder.regions(spark, inputs)
       .persist()
-    val before = regions
-      .select("doc_id", "page", "position", "label")
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
-      .toSet
-    val after = BandReorder.reorder(regions)
-      .select("doc_id", "page", "position", "label")
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3)))
-      .toSet
+    // region identity = (x1, y1, label); compare per-page reading ORDER —
+    // matched regions skip text-free Picture blocks, so raw position
+    // values have gaps that the re-rank legitimately densifies
+    def orderOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "page", "position", "x1", "y1", "label")
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+                 (r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5))))
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        k -> vs.map(_._2).sortBy(_._1).map(v => (v._2, v._3, v._4)).toVector
+      }
+    val before = orderOf(regions)
+    val after = orderOf(BandReorder.reorder(regions))
     assert(before.nonEmpty)
     assert(after == before,
-      s"pass changed ordering on clean pages: ${(after -- before).take(5)}")
+      s"pass changed ordering on clean pages: " +
+      s"${after.collect { case (k, v) if before(k) != v => (k, v, before(k)) }.take(2)}")
     regions.unpersist()
     ()
   }

@@ -92,6 +92,35 @@ class LayoutTaxonomySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("figure pages: Picture block + Caption line labeled, golden text " +
+       "unaffected (figure draws no text)") {
+    val docId = "F1966002"
+    val pages = pagesWhere(docId, 3)(
+      PageRenderer.figureSpec(docId, _).isDefined)
+    assert(pages.size == 3, s"found only ${pages.size} figure pages")
+    for (page <- pages) {
+      val crop = CropConfig.lookup(docId)
+      val got = Recognize.recognizeStored(PageRenderer.render(docId, page), crop)
+      assert(got.text == PageRenderer.bodyText(docId, page),
+             s"golden mismatch on figure page $page")
+      val (layouts, lines) = fullPage(docId, page)
+      val pics = layouts.filter(_.label == "Picture")
+      val caps = layouts.filter(_.label == "Caption")
+      assert(pics.size == 1, s"page $page Picture blocks: ${pics.size}")
+      assert(caps.size == 1, s"page $page Caption blocks: ${caps.size}")
+      // caption reads directly after its picture
+      assert(caps.head.position == pics.head.position + 1,
+             s"page $page caption not adjacent to picture")
+      // the caption text is the planted caption slot
+      val f0 = PageRenderer.figureSpec(docId, page).get
+      val capText = PageRenderer.bodySlots(docId, page)
+        .collectFirst { case (slot, _, t)
+          if slot == f0 + PageRenderer.FigureLines => t }.get
+      val mm = MatchMaking.matchTextsToLayouts(caps, lines)
+      assert(mm.matched.head.texts.map(_.text) == Vector(capText))
+    }
+  }
+
   test("top_k: every block carries a score map whose argmax is its label") {
     val docId = "F1988005"
     for (page <- pagesWhere(docId, 6)(_ => true)) {

@@ -56,6 +56,14 @@ object GlyphFont {
     '7' -> g("#####", "....#", "...#.", "..#..", ".#...", ".#...", ".#..."),
     '8' -> g(".###.", "#...#", "#...#", ".###.", "#...#", "#...#", ".###."),
     '9' -> g(".###.", "#...#", "#...#", ".####", "....#", "....#", ".###."),
+    // math glyphs (TextInlineMath fixture, the reference's 9th layout
+    // label — ocr_processor.py:78-97). '+' is one component; '=' is the
+    // one deliberate exception to the single-component font rule: two
+    // stacked bars with an identical x-span, merged into one glyph cell
+    // by the recognizer's x-overlap grouping (Recognize.groupGlyphs) —
+    // both facts pinned in KernelSpec.
+    '+' -> g(".....", "..#..", "..#..", "#####", "..#..", "..#..", "....."),
+    '=' -> g(".....", ".....", "#####", ".....", "#####", ".....", "....."),
   )
 
   /** Alphabet the synthetic corpus draws from. */

@@ -12,7 +12,8 @@ import graft.core.{BBox, LayoutBox, TextLine}
   *     runs, then labeled with the reference's taxonomy
   *     (ocr_processor.py:78-97 label set): `SectionHeader` (single short
   *     line with extra whitespace), `ListItem` (indented run), `Table`
-  *     (grid of numeric cells), `Text` (default); the full-page path adds
+  *     (grid of numeric cells), `TextInlineMath` (a line carrying a math
+  *     glyph), `Text` (default); the full-page path adds
   *     `PageHeader`/`PageFooter` (Recognize.segmentPageFull). Every box
   *     carries a `top_k` label→score map like the reference's LayoutBox
   *     (live sample results/surya/capture/results.json) — scores here are
@@ -53,13 +54,16 @@ object LayoutSegment {
     val blocks = columns.flatMap { col =>
       val colMinX = col.map(_.bbox.x1).min
       val colW = math.max(1, col.map(_.bbox.x2).max - colMinX)
-      gapBlocks(col)
+      val labeled = gapBlocks(col)
         // a numeric grid row has cells at staggered x — indent splitting
         // must not shred it before the Table rule can see it
         .flatMap(b => if (isNumericGrid(b)) Vector(b) else indentRuns(b))
         .map(ls => label(ls, colW, colMinX))
+      // merge runs PER COLUMN: a table ending column 1 and another
+      // starting column 2 must never fuse into one box spanning the gutter
+      mergeAdjacentTables(labeled)
     }
-    mergeAdjacentTables(blocks).zipWithIndex.map { case ((bb, lab, conf, tk), i) =>
+    blocks.zipWithIndex.map { case ((bb, lab, conf, tk), i) =>
       LayoutBox(bb, lab, i, conf, tk)
     }
   }
@@ -116,10 +120,16 @@ object LayoutSegment {
     ls.lengthCompare(TableMinNumeric) >= 0 &&
     ls.forall(l => l.text.nonEmpty && l.text.forall(_.isDigit))
 
+  /** Characters only the planted inline-math expressions draw (the math
+    * glyphs of GlyphFont); a block containing any of them is
+    * `TextInlineMath` — the reference's Text-with-inline-math label. */
+  private val MathChars: Set[Char] = Set('+', '=')
+
   /** Label one block of lines. Rule order: Table (all-numeric grid) →
-    * ListItem (indented run of >= 2 lines) → SectionHeader (single short
-    * line) → Text. Scores are integer-ratio rule strengths (deterministic
-    * doubles), carried in the top_k map with Text as the runner-up. */
+    * ListItem (indented run of >= 2 lines) → TextInlineMath (any line with
+    * a math glyph) → SectionHeader (single short line) → Text. Scores are
+    * integer-ratio rule strengths (deterministic doubles), carried in the
+    * top_k map with Text as the runner-up. */
   /** Rule strength floored at 0.51: a fired rule OWNS the label, so its
     * top_k score must strictly beat the Text runner-up even at the rule's
     * admission boundary (e.g. a 0.55·colW header line or an exactly
@@ -137,17 +147,21 @@ object LayoutSegment {
     } else if (ls.length >= 2 && bb.x1 - colMinX >= IndentMin) {
       val s = ruleScore(100L * (bb.x1 - colMinX) / 30)
       (bb, "ListItem", s, Map("ListItem" -> s, "Text" -> (1.0 - s)))
+    } else if (ls.exists(_.text.exists(MathChars))) {
+      val mathLines = ls.count(_.text.exists(MathChars))
+      val s = ruleScore(51L + 49L * mathLines / ls.length)
+      (bb, "TextInlineMath", s, Map("TextInlineMath" -> s, "Text" -> (1.0 - s)))
     } else if (ls.length == 1 && bb.w.toLong * 100 <= 55L * colW) {
       val s = ruleScore(100L - 100L * bb.w / colW)
       (bb, "SectionHeader", s, Map("SectionHeader" -> s, "Text" -> (1.0 - s)))
     } else (bb, "Text", 1.0, Map("Text" -> 1.0))
   }
 
-  /** Relabel + ListItem pass over consecutive blocks, then merge adjacent
-    * Table blocks (each ruled-table row arrives as its own numeric block;
-    * the reference emits ONE Table region per table). ListItem needs
-    * neighbour context: an indented run is a ListItem only if a
-    * non-indented block sits beside it, which is known only here. */
+  /** Merge consecutive Table blocks of ONE column (each ruled-table row
+    * arrives as its own numeric block; the reference emits ONE Table
+    * region per table). Callers pass a single column's block run — merging
+    * across columns would fuse tables on either side of the gutter into
+    * one box spanning it. */
   private def mergeAdjacentTables(blocks: Vector[Block]): Vector[Block] = {
     val out = Vector.newBuilder[Block]
     var i = 0

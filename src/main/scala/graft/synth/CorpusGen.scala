@@ -12,7 +12,7 @@ object CorpusGen {
 
   /** Bump when generator output changes — benchmark corpus caches key on
     * it so a stale on-disk corpus is never silently reused. */
-  val GenVersion = 5 // v3: section headers; v4: small skew; v5: figures
+  val GenVersion = 6 // v4: small skew; v5: figures; v6: inline-math lines
 
   private val LowerWords: Vector[String] = Vector(
     "article", "decret", "ministre", "republique", "journal", "officiel",

@@ -172,6 +172,34 @@ object PageRenderer {
     }
   }
 
+  /** TextInlineMath fixture (the 9th and last label of the reference's
+    * taxonomy, ocr_processor.py:78-97): ~1 in 6 eligible single-column
+    * pages replace the body line at this slot with a planted inline-math
+    * expression ([[mathText]], digits + the '+'/'=' math glyphs). The
+    * line adds no whitespace — it lives inside its text block, and the
+    * block is labeled `TextInlineMath` (LayoutSegment math-glyph rule). */
+  def mathLine(docId: String, page: Int): Option[Int] = {
+    val layout = layoutFor(docId, page)
+    if (layout.table.nonEmpty || layout.twoCol.nonEmpty ||
+        layout.textLines < 8 ||
+        sectionHeaderLine(docId, page).isDefined ||
+        nestedBlock(docId, page).isDefined ||
+        figureSpec(docId, page).isDefined) None
+    else {
+      val rng = new Rng(pageSeed(docId, page) ^ 0x3A7411E5L)
+      if (rng.nextInt(6) != 0) None
+      else Some(1 + rng.nextInt(layout.textLines - 2))
+    }
+  }
+
+  /** Planted inline-math line: `A + B = A+B` (seed-pure, golden-exact). */
+  def mathText(docId: String, page: Int): String = {
+    val rng = new Rng(pageSeed(docId, page) ^ 0x3A7437EC7L)
+    val a = rng.between(2, 98)
+    val b = rng.between(2, 98)
+    s"$a + $b = ${a + b}"
+  }
+
   /** y of body line `i` on a single-column page — the one place the
     * fixture whitespace (section-header gaps above/below; the gap below a
     * figure caption) is accounted for; shared by the text drawer, the
@@ -237,8 +265,10 @@ object PageRenderer {
     val nested = nestedBlock(docId, page)
     val hdr = sectionHeaderLine(docId, page)
     val fig = figureSpec(docId, page)
+    val mth = mathLine(docId, page)
     (0 until layout.textLines).flatMap { i =>
       if (fig.exists(f0 => i >= f0 && i < f0 + FigureLines)) None
+      else if (mth.contains(i)) Some((i, 0, mathText(docId, page)))
       else {
         val indent = nested match {
           case Some((s0, len, ind)) if i >= s0 && i < s0 + len => ind

@@ -8,9 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class KernelSpec extends AnyFunSuite {
 
-  test("every font glyph is a single 8-connected component") {
-    for ((c, b) <- GlyphFont.glyphs)
+  test("every font glyph is a single 8-connected component ('=' excepted: " +
+       "its bars share an x-span so x-overlap grouping merges them)") {
+    for ((c, b) <- GlyphFont.glyphs if c != '=')
       assert(ConnectedComponents.label(b).size == 1, s"glyph '$c' fragmented")
+    // '=' is exactly two components with an IDENTICAL x-span — the
+    // precondition for Recognize.groupGlyphs to fuse them into one cell
+    val bars = ConnectedComponents.label(GlyphFont.glyphs('='))
+    assert(bars.size == 2)
+    assert(bars.map(p => (p.bbox.x1, p.bbox.x2)).distinct.size == 1)
   }
 
   test("font templates are pairwise distinct after tight crop") {

@@ -121,6 +121,28 @@ class LayoutTaxonomySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("inline-math pages: golden text roundtrips ('+'/'=' glyphs " +
+       "recognized) and the block is labeled TextInlineMath") {
+    val docId = "F1994003"
+    val pages = pagesWhere(docId, 3)(
+      PageRenderer.mathLine(docId, _).isDefined)
+    assert(pages.size == 3, s"found only ${pages.size} math pages")
+    for (page <- pages) {
+      val crop = CropConfig.lookup(docId)
+      val got = Recognize.recognizeStored(PageRenderer.render(docId, page), crop)
+      assert(got.text == PageRenderer.bodyText(docId, page),
+             s"golden mismatch on math page $page")
+      val (layouts, lines) = fullPage(docId, page)
+      val maths = layouts.filter(_.label == "TextInlineMath")
+      assert(maths.size == 1, s"page $page TextInlineMath blocks: ${maths.size}")
+      // the planted expression's line is inside the labeled block
+      val mm = MatchMaking.matchTextsToLayouts(maths, lines)
+      val expr = PageRenderer.mathText(docId, page)
+      assert(mm.matched.head.texts.map(_.text).contains(expr),
+             s"page $page math line '$expr' not in block")
+    }
+  }
+
   test("top_k: every block carries a score map whose argmax is its label") {
     val docId = "F1988005"
     for (page <- pagesWhere(docId, 6)(_ => true)) {

@@ -14,14 +14,41 @@ object SparkEntry {
     * recognized spans. Driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame = extractSpans(spark, nDocs = 8)
 
+  /** Flagship extraction query, SELF-VERIFYING: the generator owns the
+    * golden spans (CorpusGen.genDoc returns them), so the extracted spans
+    * are full-outer-joined against the golden set on (doc_id, offset) and
+    * every row carries its doc's `mismatch_count` — the per-document count
+    * of spans differing in (kind, media_ref, text) or missing on either
+    * side. The north-rule invariant (exact span-sequence equality) is thus
+    * visible in the driver's row record itself: mismatch_count must be 0
+    * on every row (pinned in PipelineSpec). */
   private def extractSpans(spark: SparkSession, nDocs: Int): DataFrame = {
     import spark.implicits._
     val out = ExtractJob.extract(spark, CorpusGen.inputDS(spark, nDocs),
       ExtractJob.Config(buckets = math.min(32, nDocs), skewSpanThreshold = 9))
-    out.select(col("doc_id"), explode(col("spans")).as("span"))
+    val extracted = out.select(col("doc_id"), explode(col("spans")).as("span"))
       .select(col("doc_id"), col("span.offset").as("offset"),
               col("span.kind").as("kind"), col("span.media_ref").as("media_ref"),
-              length(col("span.text")).as("text_len"), col("span.text").as("text"))
+              col("span.text").as("text"))
+    // golden side: distributed, seed-pure — same shape as inputDS
+    val golden = spark.range(nDocs).mapPartitions(_.map(i =>
+        CorpusGen.genDoc(i.toInt)._2))
+      .select(col("doc_id"), explode(col("spans")).as("g"))
+      .select(col("doc_id"), col("g.offset").as("offset"),
+              col("g.kind").as("g_kind"), col("g.media_ref").as("g_media_ref"),
+              col("g.text").as("g_text"))
+    val joined = extracted.join(golden, Seq("doc_id", "offset"), "full_outer")
+      .withColumn("bad",
+        when(col("kind") <=> col("g_kind") &&
+             col("media_ref") <=> col("g_media_ref") &&
+             col("text") <=> col("g_text"), 0L).otherwise(1L))
+    joined
+      .withColumn("mismatch_count",
+        sum(col("bad")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("offset"), col("kind"), col("media_ref"),
+              length(col("text")).as("text_len"), col("text"),
+              col("mismatch_count"))
       .orderBy("doc_id", "offset")
   }
 
@@ -443,6 +470,8 @@ object SparkEntry {
          SELECT rid, cid, cid * 15 AS x1, rid * 20 AS y1,
                 cid * 15 + 12 AS x2, rid * 20 + 18 AS y2
          FROM r CROSS JOIN c ORDER BY rid, cid""",
+    // SYNCED DERIVATION — CTEs `preds`/`gts` duplicate the synthetic box
+    // formulas in RelationalOps.q11IouBestMatch; edit both sides together.
     "q11_iou_match" ->
       """WITH preds AS (
            SELECT o_orderkey AS pred_id, o_orderkey % 4 AS page,
@@ -477,6 +506,10 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
          MIN(doc_id) AS canonical
          FROM documents GROUP BY md5(text) ORDER BY text_hash""",
+    // SYNCED SCOPE — the `doc_id < 300` bound mirrors
+    // CorpusOps.D2DefaultDocBound (sandbox query budget, not semantics);
+    // the `COUNT(*) <= 50` df cap mirrors CorpusOps.ShingleDfCap. Edit
+    // operator and oracle together.
     "d2_ngram_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, tok, ord FROM (
@@ -492,6 +525,36 @@ object SparkEntry {
          tri_all AS (SELECT DISTINCT doc_id, g FROM tri0 WHERE t2 IS NOT NULL),
          keep AS (SELECT g FROM tri_all GROUP BY g HAVING COUNT(*) <= 50),
          tri AS (SELECT tri_all.doc_id, tri_all.g FROM tri_all JOIN keep USING (g)),
+         sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY a.doc_id, b.doc_id)
+         SELECT doc_a, doc_b,
+                (inter * 1000000) // (sa.sz + sb.sz - inter) AS jac_e6
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE (inter * 1000000) // (sa.sz + sb.sz - inter) >= 100000
+         ORDER BY doc_a, doc_b""",
+    // d7's oracle is the exact ALL-PAIRS word-trigram Jaccard pair set
+    // (d2's machinery with NO doc bound and NO df cap): a green row proves
+    // the 8x3-band MinHash-LSH blocking has 100% recall on the driver data
+    // AND the per-candidate exact verification is value-correct
+    // (CorpusOps.d7MinHashLsh docstring).
+    "d7_minhash_lsh" ->
+      """WITH toks AS (
+           SELECT doc_id, tok, ord FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                    generate_subscripts(string_split(text, ' '), 1) AS ord
+             FROM documents)
+           WHERE tok <> ''),
+         tri0 AS (
+           SELECT doc_id,
+                  tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w AS g,
+                  LEAD(tok, 2) OVER w AS t2
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+         tri AS (SELECT DISTINCT doc_id, g FROM tri0 WHERE t2 IS NOT NULL),
          sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tri GROUP BY doc_id),
          inter AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -590,6 +653,8 @@ object SparkEntry {
          CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
          CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // SYNCED DERIVATION — CTEs `tokens`/`crops` duplicate the synthetic
+    // box formulas in RelationalOps.q14TokenCrop; edit both sides together.
     "q14_token_crop" ->
       """WITH tokens AS (
            SELECT l_orderkey AS token_id, l_orderkey % 8 AS page,
@@ -614,6 +679,9 @@ object SparkEntry {
                 tx2 - cx1 AS rx2, ty2 - cy1 AS ry2
          FROM j WHERE inter * 2 >= tarea
          ORDER BY crop_id, token_id""",
+    // SYNCED DERIVATION — CTE `r` duplicates the synthetic region formulas
+    // in RelationalOps.q13Reband (incl. the UNIQUE position tiebreaker);
+    // edit both sides together.
     "q13_reband" ->
       """WITH r AS (
            SELECT o_orderkey AS region_id,

@@ -26,13 +26,19 @@ object TokenCrop {
 
   /** Select the tokens belonging to a table crop and translate them into
     * the crop frame. `rotated` applies the rotated-table remap. Returns
-    * (crop box in page coords, tokens in crop coords). The pad is clamped
-    * to the page like the reference's table-margin expansion
-    * (ocr_processor.py:184-190). */
+    * (crop box in page coords, tokens in crop coords). The pad is
+    * UNCLAMPED, exactly like TATR cell 27 (`bbox[0] - padding, ...` with
+    * no page bound; PIL's crop pads out-of-page area): for a table within
+    * `padding` px of a page edge the crop origin goes negative/past the
+    * edge and token coordinates (and the rotated remap's w' = crop.h)
+    * follow the reference's frame bit-for-bit. `imgW`/`imgH` are kept in
+    * the signature for the pixel-reading callers that must intersect the
+    * crop with the page before touching the plane. */
   def tokensToCrop(tokens: Seq[TextLine], table: BBox, imgW: Int, imgH: Int,
                    rotated: Boolean = false,
                    padding: Int = Padding): (BBox, Vector[TextLine]) = {
-    val crop = table.expand(padding, imgW, imgH)
+    val crop = BBox(table.x1 - padding, table.y1 - padding,
+                    table.x2 + padding, table.y2 + padding)
     val kept = tokens.filter(t => iob(t.bbox, crop) >= 0.5)
     val translated = kept.map { t =>
       t.copy(bbox = BBox(t.bbox.x1 - crop.x1, t.bbox.y1 - crop.y1,

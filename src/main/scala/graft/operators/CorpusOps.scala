@@ -46,15 +46,27 @@ object CorpusOps {
     * stopword-shingle removal from the MinHash-dedup literature. */
   val ShingleDfCap = 50
 
+  /** Default d2 scope bound — a SANDBOX QUERY-BUDGET constant, not
+    * operator semantics: the driver's per-query wall cap can't afford the
+    * full-corpus pair join every round, so the shipped query (and its
+    * DuckDB oracle, which mirrors the same bound — SparkEntry.oracleSql
+    * "d2_ngram_jaccard") scopes to doc_id < 300. Production callers pass
+    * docBound = Long.MaxValue; the operator's shape (df-capped shingle
+    * pair join) is bound-independent. */
+  val D2DefaultDocBound = 300L
+
   /** d2: exact n-gram Jaccard near-dup pairs — pair join on shared
     * shingles (never all-pairs), integer-scaled similarity. The shingle
     * table feeds 4 subplans (both join sides + both size lookups), so it
     * is materialized once — at production scale this is a written-out
     * intermediate table, not a recompute. Hot shingles (df > ShingleDfCap)
     * are removed with a broadcast anti-join against the (tiny) hot-shingle
-    * table, so no join key ever exceeds ShingleDfCap rows per side. */
-  def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val all = shingles(s, dir, 300L)
+    * table, so no join key ever exceeds ShingleDfCap rows per side.
+    * `docBound` scopes the input (see [[D2DefaultDocBound]] — scope, not
+    * semantics). */
+  def d2NgramJaccard(s: SparkSession, dir: String,
+                     docBound: Long = D2DefaultDocBound): DataFrame = {
+    val all = shingles(s, dir, docBound)
     val hot = all.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") > ShingleDfCap).select(col("g"))
     val sh = all.join(broadcast(hot), Seq("g"), "left_anti")
@@ -135,7 +147,15 @@ object CorpusOps {
 
   /** d7: MinHash-LSH near-dup candidates: native minhash_sig Expression
     * (k=24), 8 bands x 3 rows, bucket join, exact-Jaccard verification of
-    * candidates only. Rows-only + ScalaTest recall check. */
+    * candidates only (word-trigram FNV hash sets, TextHashes).
+    *
+    * DuckDB-oracled the d9 way: the oracle is the exact ALL-PAIRS
+    * word-trigram Jaccard pair set at >= 0.1 (SparkEntry.oracleSql
+    * "d7_minhash_lsh" — the d2 trigram machinery with no doc bound and no
+    * df cap), so a green row proves 100% LSH recall on the driver data.
+    * The verified output is a SUBSET of all-pairs by construction; recall
+    * is additionally pinned at both sf dirs in OperatorSpec. On other
+    * corpora the recall dial is the band count (8x3 at k=24). */
   def d7MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     import s.implicits._
@@ -210,6 +230,9 @@ object CorpusOps {
     * with target recall. */
   val D9Bits = 2
   val D9Tables = 16
+  /** d10 recall-audit sample: 1/this of vectors get an exact all-pairs
+    * re-check of the LSH-blocked edge set (see d10DupClusters). */
+  val D10AuditSampleMod = 4L
   private def d9Seed(t: Int): Long = 1000003L * t + 42L
 
   /** d9: embedding-cosine near-duplicate pairs with an EXACT integer
@@ -300,6 +323,34 @@ object CorpusOps {
     val nodes = table(s, dir, "embeddings").select(col("vec_id"))
     val edges = d9EmbedDup(s, dir).select(col("vec_a"), col("vec_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Recall audit (eager, like the loop's per-round convergence counts):
+    // the edge set comes from d9's LSH-blocked pair space, and a boundary
+    // pair escaping all D9Tables tables (p ≈ 0.60^16 per pair at the 0.40
+    // threshold, worse at higher thresholds) would SILENTLY split a
+    // cluster. Before resolving, the exact predicate is re-run ALL-PAIRS
+    // over a deterministic hash sample of the vectors (sample² pairs —
+    // bounded and broadcastable, a deliberate nested-loop over the sample
+    // only) and any passing sample pair missing from the edge set fails
+    // the job loudly — wrong clusters never ship. The sample rate is the
+    // audit-cost dial; the fix for a tripped audit is raising D9Tables.
+    val sampled = quantized(s, dir)
+      .filter(pmod(xxhash64(col("vec_id")), lit(D10AuditSampleMod)) === 0)
+      .withColumn("nrm", dotCol(col("qv"), col("qv")))
+    val missed = sampled
+      .select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na"))
+      .join(broadcast(sampled.select(col("vec_id").as("vec_b"),
+              col("qv").as("qb"), col("nrm").as("nb"))),
+            col("vec_a") < col("vec_b"))
+      .withColumn("dot", dotCol(col("qa"), col("qb")))
+      .filter(col("dot") > 0 &&
+              col("dot") * col("dot") * lit(25L) >=
+              col("na") * col("nb") * lit(4L))
+      .select(col("vec_a"), col("vec_b"))
+      .join(edges, Seq("vec_a", "vec_b"), "left_anti")
+      .count()
+    require(missed == 0,
+      s"d10 audit: LSH blocking missed $missed exact near-dup edge(s) in " +
+      s"the 1/$D10AuditSampleMod vector sample — raise CorpusOps.D9Tables")
     val edgesBi = edges.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .union(edges.select(col("vec_b").as("src"), col("vec_a").as("dst")))
     // Each round: (1) neighbour-min step, (2) pointer-jump step

@@ -180,7 +180,12 @@ object RelationalOps {
   /** q13: the banded re-order correction pass (A6 pipeline op,
     * textheight-median.py:204-222) over synthetic integer regions derived
     * from orders — DuckDB-oracles BandReorder.reorder's relational core
-    * (floor-mean tolerance, integer band rounding, (band, x) rank). */
+    * (floor-mean tolerance, integer band rounding, (band, x) rank).
+    *
+    * SYNCED DERIVATION — the synthetic region columns below are duplicated
+    * verbatim in SQL in SparkEntry.oracleSql("q13_reband") CTE `r`; any
+    * edit here must change that CTE identically (the r2 tie-safety bug was
+    * exactly this pair drifting). */
   def q13Reband(s: SparkSession, dir: String): DataFrame = {
     val regions = table(s, dir, "orders")
       .filter(col("o_orderkey") % 13 === 0)
@@ -205,7 +210,11 @@ object RelationalOps {
   /** q14: the J7 token-in-crop join relationally (TATR cell 27
     * objects_to_crops): synthetic integer tokens vs padded table crops,
     * IoB >= 0.5 selection expressed exactly-integer (2*inter >= area),
-    * coordinates translated into the crop frame. */
+    * coordinates translated into the crop frame.
+    *
+    * SYNCED DERIVATION — the token/crop column formulas are duplicated in
+    * SparkEntry.oracleSql("q14_token_crop") CTEs `tokens`/`crops`; edit
+    * both sides together. */
   def q14TokenCrop(s: SparkSession, dir: String): DataFrame = {
     val tokens = table(s, dir, "lineitem")
       .filter(col("l_orderkey") % 53 === 0)
@@ -244,7 +253,11 @@ object RelationalOps {
 
   /** q11: IoU best-match join (J4, test_tables.py:279-332): synthetic
     * integer boxes from two tables, best-IoU GT per prediction via window
-    * argmax; all ratios kept in scaled integer space (iou_e6). */
+    * argmax; all ratios kept in scaled integer space (iou_e6).
+    *
+    * SYNCED DERIVATION — the pred/gt box formulas are duplicated in
+    * SparkEntry.oracleSql("q11_iou_match") CTEs `preds`/`gts`; edit both
+    * sides together. */
   def q11IouBestMatch(s: SparkSession, dir: String): DataFrame = {
     val preds = table(s, dir, "orders")
       .filter(col("o_orderkey") % 97 === 0)

@@ -31,14 +31,25 @@ object StreamingStats {
               col("n_events"))
 
   final case class SessEvent(user_id: Long, event_id: Long, sec: Long)
-  final case class SessState(lastSec: Long, sessions: Long, events: Long)
+  final case class SessState(lastSec: Long, sessions: Long, events: Long,
+                             late: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long,
-                                n_events: Long)
+                                n_events: Long, n_late: Long)
 
   /** Per-user gap sessionization (gap > gapSec opens a new session) as a
     * stateful stream. Events within a batch are sorted by (sec, event_id)
-    * before folding — the same total order the batch form (q7) uses; the
-    * file/micro-batch boundary carries (lastSec, counts) in state. */
+    * before folding — the same total order the batch form (q7) uses.
+    *
+    * Cross-batch ordering contract: the file source delivers micro-batches
+    * in MODIFICATION-TIME order, not event-time order, and state carries
+    * only lastSec across the boundary — an event arriving BEHIND a later
+    * batch's lastSec cannot be folded into its (already closed) session.
+    * Such late events are DROPPED AND COUNTED (`n_late`), the same policy
+    * as the watermarked window above, instead of silently folding a
+    * negative gap into the wrong session. Equality with the batch oracle
+    * (q7) therefore holds exactly when n_late = 0, i.e. when input files
+    * arrive in event-time order — and a violation is visible in the
+    * output rather than a silent count skew. */
   def sessionizeStream(events: Dataset[SessEvent], gapSec: Long = 1800L)
       : Dataset[UserSessions] = {
     import events.sparkSession.implicits._
@@ -49,16 +60,22 @@ object StreamingStats {
         (user: Long, it: Iterator[SessEvent],
          state: GroupState[SessState]) => {
           val sorted = it.toVector.sortBy(e => (e.sec, e.event_id))
-          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          var st = state.getOption.getOrElse(
+            SessState(Long.MinValue, 0L, 0L, 0L))
           for (e <- sorted) {
-            val newSession = st.lastSec == Long.MinValue ||
-                             e.sec - st.lastSec > gapSec
-            st = SessState(e.sec,
-                           st.sessions + (if (newSession) 1L else 0L),
-                           st.events + 1L)
+            if (st.lastSec != Long.MinValue && e.sec < st.lastSec) {
+              st = st.copy(late = st.late + 1L) // behind state: drop, count
+            } else {
+              val newSession = st.lastSec == Long.MinValue ||
+                               e.sec - st.lastSec > gapSec
+              st = SessState(e.sec,
+                             st.sessions + (if (newSession) 1L else 0L),
+                             st.events + 1L, st.late)
+            }
           }
           state.update(st)
-          Iterator.single(UserSessions(user, st.sessions, st.events))
+          Iterator.single(
+            UserSessions(user, st.sessions, st.events, st.late))
         })
   }
 
@@ -93,6 +110,7 @@ object StreamingStats {
     spark.read.parquet(outPath)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("user_id"), col("n_sessions"), col("n_events"))
+      .select(col("user_id"), col("n_sessions"), col("n_events"),
+              col("n_late"))
   }
 }

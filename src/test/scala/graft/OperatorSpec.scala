@@ -189,6 +189,38 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(msgs.contains("length mismatch"), msgs)
   }
 
+  test("d7: LSH candidate set has 100% recall vs exact all-pairs Jaccard " +
+       "(the DuckDB oracle's pair set) on the driver testdata") {
+    import graft.functions.TextHashes
+    val td = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$td/documents.parquet").exists)
+    val got = CorpusOps.d7MinHashLsh(spark, td).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val docs = spark.read.parquet(s"$td/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), TextHashes.shingleHashes(r.getString(1), 3).toSet))
+      .sortBy(_._1)
+    val want = (for {
+      i <- docs.indices.iterator
+      j <- ((i + 1) until docs.length).iterator
+      inter = docs(i)._2.intersect(docs(j)._2).size.toLong
+      union = docs(i)._2.size + docs(j)._2.size - inter
+      jac = if (union == 0) 0L else inter * 1000000L / union
+      if jac >= 100000L
+    } yield (docs(i)._1, docs(j)._1, jac)).toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("d10: resolves clusters under the recall audit (the sampled exact " +
+       "all-pairs re-check finds no edge the LSH blocking missed)") {
+    val rows = CorpusOps.d10DupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty) // completing without the audit throwing matters
+    // planted 8x6 clusters resolve to their min member id
+    for ((v, c) <- rows) assert(c == (v / 6) * 6, s"vec $v cluster $c")
+  }
+
   test("d8: fingerprints are stable and collide for identical docs") {
     val fp = CorpusOps.d8Fingerprints(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -312,4 +312,13 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val exchanges = "(?i)exchange".r.findAllIn(plan).size
     assert(exchanges == 3, s"expected 3 exchanges in union plan, got $exchanges:\n$plan")
   }
+
+  test("x1 is self-verifying: every row's golden-join mismatch_count is 0") {
+    val df = SparkEntry.queries("x1_extract_spans")(spark, "unused")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(df.count() > 0)
+    val bad = df.filter(col("mismatch_count") =!= 0L).count()
+    assert(bad == 0, s"$bad rows with span-sequence mismatches vs golden")
+    df.unpersist()
+  }
 }

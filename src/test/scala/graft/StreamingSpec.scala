@@ -66,8 +66,10 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .write.mode("append").parquet(in)
     lateHalf.toDF("user_id", "event_id", "ts").coalesce(1)
       .write.mode("append").parquet(in)
-    val got = StreamingStats.runSessionize(spark, in, out, ck)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = StreamingStats.runSessionize(spark, in, out, ck).collect()
+    // event-time-ordered input: nothing is late
+    assert(full.forall(_.getLong(3) == 0L), full.mkString(","))
+    val got = full.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // batch oracle: q7 semantics over the same rows
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -84,6 +86,19 @@ class StreamingSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // at least one user's session must span the two files for the test to
     // mean anything
     assert(early.nonEmpty && lateHalf.nonEmpty)
+    // an out-of-order file (event BEHIND user 0's folded history) is
+    // dropped and COUNTED, never folded into the wrong session
+    Vector((0L, 9999L, new java.sql.Timestamp(1000500L * 1000L)))
+      .toDF("user_id", "event_id", "ts").coalesce(1)
+      .write.mode("append").parquet(in)
+    val after = StreamingStats.runSessionize(spark, in, out, ck).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val before = full
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(after(0L)._3 == 1L, s"late not counted: ${after(0L)}")
+    assert((after(0L)._1, after(0L)._2) == before(0L),
+           "late event changed session/event counts")
   }
 
   test("watermarked tumbling windows finalize once and drop late events") {

@@ -26,6 +26,19 @@ class TokenCropSpec extends AnyFunSuite {
     assert(out.head.bbox == BBox(20, 20, 60, 30)) // minus crop origin
   }
 
+  test("edge-of-page table: the pad is UNCLAMPED (TATR cell 27) — the " +
+       "crop origin goes negative and tokens translate by it") {
+    val table = BBox(0, 0, 200, 100) // flush with the page corner
+    val tokens = Seq(tok(5, 5, 45, 15, "corner"))
+    val (crop, out) = TokenCrop.tokensToCrop(tokens, table, 720, 960)
+    assert(crop == BBox(-10, -10, 210, 110)) // not clamped to the page
+    // token minus the UNCLAMPED origin: 5 - (-10) = 15
+    assert(out.head.bbox == BBox(15, 15, 55, 25))
+    // rotated remap uses w' = crop.h of the unclamped crop (120, not 110)
+    val (_, rot) = TokenCrop.tokensToCrop(tokens, table, 720, 960, rotated = true)
+    assert(rot.head.bbox == BBox(120 - 25 - 1, 15, 120 - 15 - 1, 55))
+  }
+
   test("iob is intersection over the TOKEN area, not IoU") {
     val a = BBox(0, 0, 10, 10)
     val b = BBox(5, 0, 100, 100)

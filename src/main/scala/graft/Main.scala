@@ -105,6 +105,13 @@ object Main {
       println(s"STREAM docs_this_run=$n out=$out")
       spark.stop()
 
+    case "report" :: reportParquet :: htmlDir :: Nil =>
+      val spark = session("graft-report")
+      val n = graft.pipeline.HtmlReport.write(
+        spark, spark.read.parquet(reportParquet), htmlDir)
+      println(s"REPORT pages=$n dir=$htmlDir")
+      spark.stop()
+
     case "export" :: out :: json :: Nil =>
       val spark = session("graft-export")
       val n = ExtractJob.exportJson(spark, out, json)
@@ -121,6 +128,7 @@ object Main {
            |       regions <snapshotDir> <outDir>
            |       reband <regionsDir> <outDir>
            |       stream <inputDir> <outDir> <streamCkptDir>
+           |       report <evalReportParquet> <htmlDir>
            |       export <outDir> <jsonDir>""".stripMargin)
       sys.exit(2)
   }

@@ -7,6 +7,39 @@ import org.scalatest.funsuite.AnyFunSuite
   * precision/recall counters — same detector, same greedy matcher. */
 class EvalReportSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
+  test("HTML renderer: one file per FAILING page, tp-only pages skipped, " +
+       "boxes and statuses in the markup (HtmlReporter analog)") {
+    import graft.pipeline.HtmlReport
+    import spark.implicits._
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-html").toString
+    val rows = Seq(
+      // page 1 of F1970001: one tp + one fn -> failing, file written
+      ("F1970001", 1, "table", "tp", 10, 10, 100, 60, 12, 11, 99, 58, 912345L),
+      ("F1970001", 1, "cell", "fn", -1, -1, -1, -1, 20, 20, 40, 30, 0L),
+      // page 2: all tp -> no file (only-on-mismatch, like the reference)
+      ("F1970001", 2, "table", "tp", 10, 10, 100, 60, 10, 10, 100, 60, 1000000L),
+      // another doc, fp only
+      ("F1980002", 3, "cell", "fp", 5, 5, 25, 15, -1, -1, -1, -1, 120000L))
+      .toDF("doc_id", "page", "kind", "status",
+            "px1", "py1", "px2", "py2", "gx1", "gy1", "gx2", "gy2", "iou_e6")
+    val n = HtmlReport.write(spark, rows, outDir)
+    assert(n == 2, s"wrote $n pages")
+    val f1 = java.nio.file.Paths.get(outDir, "F1970001_p1.html")
+    val f2 = java.nio.file.Paths.get(outDir, "F1970001_p2.html")
+    val f3 = java.nio.file.Paths.get(outDir, "F1980002_p3.html")
+    assert(java.nio.file.Files.exists(f1) && java.nio.file.Files.exists(f3))
+    assert(!java.nio.file.Files.exists(f2), "tp-only page rendered")
+    val html = new String(java.nio.file.Files.readAllBytes(f1), "UTF-8")
+    // status cells, both boxes of the tp row, the fn's missing pred (-1)
+    assert(html.contains(">fn<") && html.contains(">tp<"))
+    assert(html.contains("10,10,100,60") && html.contains("12,11,99,58"))
+    // SVG overlay: solid pred rect + dashed gt rect for the tp row, and
+    // only a dashed gt rect for the fn row -> 3 rects total
+    assert("<rect ".r.findAllIn(html).size == 3, html)
+    assert(html.contains("stroke-dasharray"))
+  }
+
   test("report rows reconcile with the x6 counters") {
     val report = SparkEntry.queries("x7_eval_report")(spark, "unused").collect()
     val agg = SparkEntry.queries("x6_table_eval")(spark, "unused").collect().head

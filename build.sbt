@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes STRAIGHT to stdout, not through sbt's logger:
+// the logger prefixes every line with `[info] `, which made the bench
+// driver's JSON-line parse fail (BENCH_r02 `parsed: null`). Applies to
+// run/runMain child processes; the test framework reports via its own
+// protocol and is unaffected.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

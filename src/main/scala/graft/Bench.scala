@@ -159,9 +159,14 @@ object Bench {
       (attempts(c).size, !attempts(c).last.turbulent, c)))
   }
 
+  /** Last emitted artifact line — the watchdog re-emits it with
+    * `truncated` flipped true before halting. */
+  @volatile private var lastJson: String = null
+
   /** Mirror the JSON artifact to sidecar files — survives any stdout
     * mangling between this JVM and the recorded artifact. */
   private def emitJson(json: String): Unit = {
+    lastJson = json
     println(json)
     System.out.flush()
     for (p <- Seq("/tmp/graft_bench.json", "BENCH_SIDECAR.json")) {
@@ -170,6 +175,11 @@ object Bench {
       catch { case _: Throwable => () } // sidecars are best-effort
     }
   }
+
+  /** The watchdog's (and skip-path's) honest marker: the artifact itself
+    * must say it is incomplete, not just the exit code. */
+  private def markTruncated(json: String): String =
+    json.replace("\"truncated\":false", "\"truncated\":true")
 
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
@@ -192,9 +202,13 @@ object Bench {
       if (slept && !finished) {
         System.err.println(
           s"[bench] watchdog: deadline ${deadlineSec}s hit, halting with " +
-          "rc 3 (truncated; last printed/sidecar JSON line stands)")
+          "rc 3 (artifact re-emitted with truncated:true)")
         val child = liveChild
         if (child != null) child.destroyForcibly() // no orphaned pinned JVM
+        // the artifact itself must say it is incomplete: re-emit the last
+        // JSON with truncated flipped (stdout last-line + sidecars)
+        val lj = lastJson
+        if (lj != null) emitJson(markTruncated(lj))
         // NONZERO: a truncated bench must not read as a clean rc=0 run
         Runtime.getRuntime.halt(3)
       }
@@ -291,6 +305,10 @@ object Bench {
     // ---- phase 2: headline operator queries at local[cpus]
     val skipQueries = sys.env.get("SPARK_GRAFT_BENCH_SKIP_QUERIES").contains("1")
     val perQueryCapSec = 75
+    // deadline-near skips make the run INCOMPLETE: the final artifact must
+    // carry truncated:true (an explicit SKIP_QUERIES run is not truncated —
+    // the caller asked for scaling only)
+    var deadlineSkipped = false
     val queryTimes =
       if (skipQueries) Seq.empty
       else {
@@ -301,6 +319,7 @@ object Bench {
           case (name, fn) =>
             if (elapsed > deadlineSec - perQueryCapSec - 30) {
               System.err.println(s"[bench] $name skipped: deadline near")
+              deadlineSkipped = true
               None
             } else {
               sc.setJobGroup(name, name, interruptOnCancel = true)
@@ -327,8 +346,10 @@ object Bench {
         times
       }
 
-    emitJson(renderJson(queryTimes))
+    val finalJson = renderJson(queryTimes)
+    emitJson(if (deadlineSkipped) markTruncated(finalJson) else finalJson)
     finished = true
     watchdog.interrupt()
+    if (deadlineSkipped) sys.exit(3) // incomplete must not read as clean
   }
 }

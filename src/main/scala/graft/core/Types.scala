@@ -23,12 +23,6 @@ case class BBox(x1: Int, y1: Int, x2: Int, y2: Int) {
   def cx: Int = (x1 + x2) / 2
   def cy: Int = (y1 + y2) / 2
 
-  /** Expand by margin, clamped to an image of size (imgW, imgH)
-    * (reference margin expansion: classes/image_builder.py:217-222). */
-  def expand(m: Int, imgW: Int, imgH: Int): BBox =
-    BBox(math.max(0, x1 - m), math.max(0, y1 - m),
-         math.min(imgW, x2 + m), math.min(imgH, y2 + m))
-
   /** Full containment of `o` in this (the J2 predicate,
     * classes/image_builder.py:228-231). */
   def contains(o: BBox): Boolean =

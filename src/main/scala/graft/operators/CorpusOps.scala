@@ -230,9 +230,14 @@ object CorpusOps {
     * with target recall. */
   val D9Bits = 2
   val D9Tables = 16
-  /** d10 recall-audit sample: 1/this of vectors get an exact all-pairs
-    * re-check of the LSH-blocked edge set (see d10DupClusters). */
-  val D10AuditSampleMod = 4L
+  /** d10 recall-audit sample TARGET SIZE (vectors): the audit's all-pairs
+    * re-check runs over a hash sample of about this many vectors however
+    * large the corpus is — a FIXED-COUNT sample, so the audit's pair count
+    * (~target²/2) and broadcast size stay constant at any scale (a fixed
+    * FRACTION would grow quadratically and re-create the all-pairs
+    * problem the LSH blocking exists to avoid). Small corpora (< target)
+    * get the full exact audit. */
+  val D10AuditSampleTarget = 1000L
   private def d9Seed(t: Int): Long = 1000003L * t + 42L
 
   /** d9: embedding-cosine near-duplicate pairs with an EXACT integer
@@ -328,13 +333,17 @@ object CorpusOps {
     // pair escaping all D9Tables tables (p ≈ 0.60^16 per pair at the 0.40
     // threshold, worse at higher thresholds) would SILENTLY split a
     // cluster. Before resolving, the exact predicate is re-run ALL-PAIRS
-    // over a deterministic hash sample of the vectors (sample² pairs —
-    // bounded and broadcastable, a deliberate nested-loop over the sample
-    // only) and any passing sample pair missing from the edge set fails
-    // the job loudly — wrong clusters never ship. The sample rate is the
-    // audit-cost dial; the fix for a tripped audit is raising D9Tables.
+    // over a deterministic hash sample of ~D10AuditSampleTarget vectors —
+    // FIXED COUNT, not a fixed fraction, so the deliberate nested loop
+    // over the sample stays ~target²/2 pairs and the broadcast ~target
+    // rows at ANY corpus size — and any passing sample pair missing from
+    // the edge set fails the job loudly: wrong clusters never ship. The
+    // target is the audit-cost dial; the fix for a tripped audit is
+    // raising D9Tables.
+    val nVec = nodes.count() // metadata action (d10 is an eager resolver)
+    val auditMod = math.max(1L, nVec / D10AuditSampleTarget)
     val sampled = quantized(s, dir)
-      .filter(pmod(xxhash64(col("vec_id")), lit(D10AuditSampleMod)) === 0)
+      .filter(pmod(xxhash64(col("vec_id")), lit(auditMod)) === 0)
       .withColumn("nrm", dotCol(col("qv"), col("qv")))
     val missed = sampled
       .select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na"))
@@ -350,7 +359,7 @@ object CorpusOps {
       .count()
     require(missed == 0,
       s"d10 audit: LSH blocking missed $missed exact near-dup edge(s) in " +
-      s"the 1/$D10AuditSampleMod vector sample — raise CorpusOps.D9Tables")
+      s"the 1/$auditMod vector sample — raise CorpusOps.D9Tables")
     val edgesBi = edges.select(col("vec_a").as("src"), col("vec_b").as("dst"))
       .union(edges.select(col("vec_b").as("src"), col("vec_a").as("dst")))
     // Each round: (1) neighbour-min step, (2) pointer-jump step

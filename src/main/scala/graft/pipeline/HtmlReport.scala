@@ -27,6 +27,14 @@ object HtmlReport {
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;") // status lands in a class="..." attribute
+
+  /** doc_id comes from arbitrary input parquet and lands in a file PATH:
+    * anything outside [A-Za-z0-9._-] becomes '_' so a crafted id (e.g.
+    * containing '/' or '..') can never escape outDir. */
+  private def safeName(s: String): String =
+    s.map(c => if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c
+               else '_')
 
   /** One failing page → self-contained HTML (deterministic row order). */
   def renderPage(docId: String, page: Int, rows: Seq[ReportRow]): String = {
@@ -81,8 +89,11 @@ $trs</table>
       .as[(String, Int, Seq[ReportRow])]
     val written = spark.sparkContext.longAccumulator("html_pages")
     failing.foreachPartition { (it: Iterator[(String, Int, Seq[ReportRow])]) =>
+      // executors may run on OTHER nodes: the output dir must exist where
+      // the task writes, not (only) on the driver
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
       for ((docId, page, rows) <- it) {
-        val p = java.nio.file.Paths.get(outDir, s"${docId}_p$page.html")
+        val p = java.nio.file.Paths.get(outDir, s"${safeName(docId)}_p$page.html")
         java.nio.file.Files.write(p,
           renderPage(docId, page, rows)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -95,6 +95,5 @@ class ImgSpec extends AnyFunSuite {
     assert(math.abs(a.iou(b) - 25.0 / 175.0) < 1e-12)
     assert(a.contains(BBox(2, 2, 8, 8)))
     assert(!a.contains(b))
-    assert(BBox(1, 1, 3, 3).expand(5, 10, 10) == BBox(0, 0, 8, 8))
   }
 }

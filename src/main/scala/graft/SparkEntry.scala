@@ -386,9 +386,12 @@ object SparkEntry {
   }
 
   /** DuckDB oracles (same parquet tables registered by table name). Omitted
-    * for non-SQL-expressible ops (custom hash kernels, the OCR pipeline) —
-    * driver records a weaker rows-only check; those are covered by
-    * ScalaTest oracles instead. */
+    * for non-SQL-expressible ops (the OCR pipeline; approximate-by-design
+    * ANN ranking; d6's 64-dim simhash, whose per-bit vote SQL would dwarf
+    * its value) — driver records a weaker rows-only check; those are
+    * covered by ScalaTest oracles instead. d7 and d8 show the two ways a
+    * "hash kernel" IS oracle-able: d7 by oracling the exact set the hashes
+    * approximate, d8 by re-implementing the hash itself in SQL. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
       """WITH e AS (
@@ -567,6 +570,60 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE (inter * 1000000) // (sa.sz + sb.sz - inter) >= 100000
          ORDER BY doc_a, doc_b""",
+    // d8's oracle re-implements the ENGINE'S OWN hash kernel — FNV-1a
+    // over word 5-grams + the SplitMix64 finalizer, TextHashes.fnv64/mix —
+    // in pure SQL: unsigned 64-bit wraparound via HUGEINT mod 2^64, the
+    // 64x64 multiply split into 32-bit halves to stay inside HUGEINT, and
+    // the final SIGNED reinterpretation for Spark's Long min/ordering. A
+    // green row proves the custom Catalyst expression is bit-identical in
+    // a foreign engine (no JVM-specific hashing anywhere).
+    "d8_fingerprints" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, tok, ord FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                    generate_subscripts(string_split(text, ' '), 1) AS ord
+             FROM documents)
+           WHERE tok <> ''),
+         grams AS (
+           SELECT doc_id,
+                  tok || ' ' || LEAD(tok, 1) OVER w || ' ' || LEAD(tok, 2) OVER w
+                      || ' ' || LEAD(tok, 3) OVER w || ' ' || LEAD(tok, 4) OVER w AS g,
+                  LEAD(tok, 4) OVER w AS t4
+           FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
+         g5 AS (SELECT doc_id, g FROM grams WHERE t4 IS NOT NULL),
+         fnv(doc_id, g, i, h) AS (
+           SELECT doc_id, g, 0, CAST(14695981039346656037 AS HUGEINT) FROM g5
+           UNION ALL
+           SELECT doc_id, g, i + 1,
+                  (xor(h, CAST(unicode(substr(g, i + 1, 1)) AS HUGEINT))
+                   * 1099511628211) % 18446744073709551616::HUGEINT
+           FROM fnv WHERE i < length(g)),
+         hashed AS (SELECT doc_id, h FROM fnv WHERE i = length(g)),
+         m1 AS (SELECT doc_id, xor(h, h // 1073741824) AS z FROM hashed),
+         m2 AS (SELECT doc_id,
+                  (((z * (13787848793156543929 // 4294967296)) % 4294967296)
+                     * 4294967296 + z * (13787848793156543929 % 4294967296))
+                    % 18446744073709551616::HUGEINT AS z
+                FROM m1),
+         m3 AS (SELECT doc_id, xor(z, z // 134217728) AS z FROM m2),
+         m4 AS (SELECT doc_id,
+                  (((z * (10723151780598845931 // 4294967296)) % 4294967296)
+                     * 4294967296 + z * (10723151780598845931 % 4294967296))
+                    % 18446744073709551616::HUGEINT AS z
+                FROM m3),
+         m5 AS (SELECT doc_id, xor(z, z // 2147483648) AS z FROM m4),
+         signed AS (
+           SELECT doc_id,
+                  CAST(CASE WHEN z < 9223372036854775808::HUGEINT THEN z
+                            ELSE z - 18446744073709551616::HUGEINT END AS BIGINT) AS v
+           FROM m5),
+         perdoc AS (SELECT doc_id, MIN(v) AS fp FROM signed GROUP BY doc_id),
+         fpall AS (
+           SELECT d.doc_id, COALESCE(perdoc.fp, 0) AS fp
+           FROM (SELECT doc_id FROM documents) d
+           LEFT JOIN perdoc USING (doc_id))
+         SELECT fp, COUNT(*) AS n, MIN(doc_id) AS canonical
+         FROM fpall GROUP BY fp ORDER BY fp""",
     "d3_token_stats" ->
       """SELECT doc_id,
          length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,

@@ -195,7 +195,12 @@ object CorpusOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** d8: winnowing-style document fingerprints (rolling-hash min). */
+  /** d8: winnowing-style document fingerprints (rolling-hash min).
+    * DuckDB-oracled via a pure-SQL re-implementation of the hash kernel
+    * itself (FNV-1a over word 5-grams + SplitMix64 finalizer, HUGEINT
+    * mod-2^64 arithmetic — SparkEntry.oracleSql "d8_fingerprints"): a
+    * green row proves the native fingerprint64 Expression is bit-exact
+    * cross-engine, not merely self-consistent. */
   def d8Fingerprints(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     table(s, dir, "documents")

@@ -386,12 +386,13 @@ object SparkEntry {
   }
 
   /** DuckDB oracles (same parquet tables registered by table name). Omitted
-    * for non-SQL-expressible ops (the OCR pipeline; approximate-by-design
-    * ANN ranking; d6's 64-dim simhash, whose per-bit vote SQL would dwarf
-    * its value) — driver records a weaker rows-only check; those are
-    * covered by ScalaTest oracles instead. d7 and d8 show the two ways a
-    * "hash kernel" IS oracle-able: d7 by oracling the exact set the hashes
-    * approximate, d8 by re-implementing the hash itself in SQL. */
+    * only for the genuinely non-SQL-expressible ops (the OCR pipeline's
+    * x-queries; e2/e3's approximate-by-design ANN ranking) — the driver
+    * records a weaker rows-only check there, and ScalaTest oracles cover
+    * them instead. Every DEDUP pair-miner is oracled, via two routes:
+    * d2/d7/d9/d10 by oracling the exact set the blocking approximates;
+    * d6/d8 by re-implementing the hash kernel itself in SQL (FNV-1a /
+    * SplitMix64 in HUGEINT mod-2^64 arithmetic). */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
       """WITH e AS (
@@ -540,6 +541,55 @@ object SparkEntry {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE (inter * 1000000) // (sa.sz + sb.sz - inter) >= 100000
          ORDER BY doc_a, doc_b""",
+    // d6's oracle re-implements the WHOLE SimHash operator in SQL — the
+    // engine's FNV-1a token hash (HUGEINT mod-2^64, as in d8's oracle),
+    // the per-occurrence 64-bit votes, the 4x16-bit banding, and the
+    // bit_count(xor) hamming verify — so the banded candidate set AND the
+    // hash values are proven bit-identical cross-engine.
+    "d6_simhash_pairs" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+             FROM documents)
+           WHERE tok <> ''),
+         tcnt AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks
+                  GROUP BY doc_id, tok),
+         dtok AS (SELECT DISTINCT tok FROM tcnt),
+         fnv(tok, i, h) AS (
+           SELECT tok, 0, CAST(14695981039346656037 AS HUGEINT) FROM dtok
+           UNION ALL
+           SELECT tok, i + 1,
+                  (xor(h, CAST(unicode(substr(tok, i + 1, 1)) AS HUGEINT))
+                   * 1099511628211) % 18446744073709551616::HUGEINT
+           FROM fnv WHERE i < length(tok)),
+         th AS (SELECT tok, h FROM fnv WHERE i = length(tok)),
+         votes AS (
+           SELECT t.doc_id, b.b,
+                  SUM(CASE WHEN (th.h // (CAST(1 AS HUGEINT) << b.b)) % 2 = 1
+                           THEN t.cnt ELSE -t.cnt END) AS v
+           FROM tcnt t JOIN th USING (tok)
+           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) b
+           GROUP BY t.doc_id, b.b),
+         sh AS (
+           SELECT doc_id,
+                  SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS hu
+           FROM votes GROUP BY doc_id),
+         shs AS (
+           SELECT doc_id, hu,
+                  CAST(CASE WHEN hu < 9223372036854775808::HUGEINT THEN hu
+                            ELSE hu - 18446744073709551616::HUGEINT END AS BIGINT) AS hs
+           FROM sh),
+         bands AS (
+           SELECT doc_id, hs, b.band,
+                  CAST((hu // (CAST(1 AS HUGEINT) << (16 * b.band))) % 65536 AS BIGINT) AS key
+           FROM shs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(bit_count(xor(a.hs, b.hs)) AS INT) AS hamming
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, hamming FROM pairs
+         WHERE hamming <= 6 ORDER BY doc_a, doc_b""",
     // d7's oracle is the exact ALL-PAIRS word-trigram Jaccard pair set
     // (d2's machinery with NO doc bound and NO df cap): a green row proves
     // the 8x3-band MinHash-LSH blocking has 100% recall on the driver data

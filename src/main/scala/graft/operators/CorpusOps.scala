@@ -123,8 +123,10 @@ object CorpusOps {
 
   /** d6: SimHash near-dup candidates: native simhash64 Expression, 4x16-bit
     * band bucketing (no all-pairs), hamming <= 6 via bit_count(xor).
-    * Rows-only (engine-specific hash → no SQL oracle); recall pinned by
-    * ScalaTest on planted near-duplicates. */
+    * DuckDB-oracled via a pure-SQL re-implementation of the whole operator
+    * (FNV token hash, per-occurrence bit votes, banding, hamming —
+    * SparkEntry.oracleSql "d6_simhash_pairs"); recall on planted
+    * near-duplicates additionally pinned by ScalaTest. */
   def d6SimHashPairs(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val docs = table(s, dir, "documents")

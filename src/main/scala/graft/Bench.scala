@@ -178,7 +178,7 @@ object Bench {
 
   /** The watchdog's (and skip-path's) honest marker: the artifact itself
     * must say it is incomplete, not just the exit code. */
-  private def markTruncated(json: String): String =
+  private[graft] def markTruncated(json: String): String =
     json.replace("\"truncated\":false", "\"truncated\":true")
 
   def main(args: Array[String]): Unit = {

@@ -239,7 +239,11 @@ object SparkEntry {
 
   /** Selective table-structure pass (§3.3 lifecycle) over a deterministic
     * work-list: every upright planted-table page gets an explicit-box row;
-    * recognized cell grids come back flattened for comparison. */
+    * recognized cell grids come back flattened for comparison.
+    * SELF-VERIFYING like x1: the generator owns the planted cell values
+    * (PageRenderer.cellValue), so each row carries `golden_mismatch` —
+    * 1 iff the recognized grid differs from the planted row-major values
+    * (must be 0 everywhere, pinned in PipelineSpec). */
   private def tableSelective(spark: SparkSession, nDocs: Int): DataFrame = {
     import spark.implicits._
     import graft.synth.PageRenderer
@@ -251,17 +255,26 @@ object SparkEntry {
       (1 until nMedia).flatMap { pn =>
         val lay = PageRenderer.layoutFor(d.doc_id, pn)
         if (lay.table.isDefined) {
-          val gt = lay.table.get.bbox2x
+          val t = lay.table.get
+          val gt = t.bbox2x
+          val golden = (for { i <- 0 until t.rows; j <- 0 until t.cols }
+            yield PageRenderer.cellValue(d.doc_id, pn, i, j)).mkString("|")
           Some((d.doc_id, pn, false,
-                s"[[${gt.x1},${gt.y1},${gt.x2},${gt.y2}]]"))
+                s"[[${gt.x1},${gt.y1},${gt.x2},${gt.y2}]]", golden))
         } else None
       }
-    }.toDF("doc_id", "page_number", "full_page", "table_boxes")
+    }.toDF("doc_id", "page_number", "full_page", "table_boxes", "golden_flat")
     graft.pipeline.ExtractJob.tableDataSelective(spark, inputs, wl)
       .select(col("doc_id"), col("page_number"), col("table_idx"),
               col("x1"), col("y1"), col("x2"), col("y2"), col("n_cells"),
               concat_ws("|", flatten(col("grid"))).as("grid_flat"),
               col("n_tokens"))
+      .join(broadcast(wl.select(col("doc_id"), col("page_number"),
+                                col("golden_flat"))),
+            Seq("doc_id", "page_number"))
+      .withColumn("golden_mismatch",
+        (col("grid_flat") =!= col("golden_flat")).cast("int"))
+      .drop("golden_flat")
       .orderBy("doc_id", "page_number", "table_idx")
   }
 

@@ -7,12 +7,17 @@ package graft.img
   */
 object Morph {
 
-  /** Erode: output true iff every pixel under the (kw x kh) kernel
-    * (anchored top-left like OpenCV's default center for odd sizes;
-    * we use exact window [x, x+kw) x [y, y+kh) semantics centered) is true.
-    * For line detection only run lengths matter, so the anchor convention
-    * is internal — dilate uses the mirrored window so open() is
-    * extensive-correct. */
+  /** Erode: output true iff every IN-BOUNDS pixel under the (kw x kh)
+    * kernel is true — out-of-bounds counts as WHITE, exactly OpenCV's
+    * erode default (BORDER_CONSTANT with morphologyDefaultBorderValue()
+    * = +inf). The border semantics are load-bearing: the reference's
+    * adaptive cell-lattice close (table_detection.py:616) relies on its
+    * injected border lines SURVIVING the erode half of a large-kernel
+    * close; a black-padded erode (the previous behavior here) wipes a
+    * k/2 band at every border, eats the lattice frame, and every
+    * peripheral cell hole then touches the image edge and is dropped —
+    * observed as a 5x4 table collapsing to 6 interior cells. Dilate pads
+    * black (OpenCV's -inf default), as before. */
   def erode(src: Bin, kw: Int, kh: Int): Bin = {
     val mid = horiz(src, kw, all = true)
     vert(mid, kh, all = true)
@@ -52,7 +57,7 @@ object Morph {
       x = 0
       while (x < w) {
         val win = math.min(w - 1, x + hi) - math.max(0, x - lo) + 1
-        out(base + x) = if (all) cnt == win && cnt >= k else cnt > 0
+        out(base + x) = if (all) cnt == win else cnt > 0
         // slide: remove x-lo, add x+1+hi
         val rem = x - lo
         if (rem >= 0 && rem < w && src.b(base + rem)) cnt -= 1
@@ -79,7 +84,7 @@ object Morph {
       var y = 0
       while (y < h) {
         val win = math.min(h - 1, y + hi) - math.max(0, y - lo) + 1
-        out(y * w + x) = if (all) cnt == win && cnt >= k else cnt > 0
+        out(y * w + x) = if (all) cnt == win else cnt > 0
         val rem = y - lo
         if (rem >= 0 && rem < h && src.b(rem * w + x)) cnt -= 1
         val add = y + 1 + hi

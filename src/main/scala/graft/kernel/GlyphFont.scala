@@ -89,14 +89,71 @@ object GlyphFont {
     scala.collection.immutable.LongMap(
       templates.toSeq.map { case (c, b) => packKey(b) -> c }: _*)
 
+  /** A scanner speck 8-connected to a glyph merges into its component and
+    * inflates the tight bbox by up to this many pixels per axis; the
+    * speck-tolerant fallback accepts a template that matches some
+    * template-sized subwindow EXACTLY with at most this much ink outside
+    * the window. (The renderer's margin specks land adjacent to table-cell
+    * digits — their leading-gap grid does not align with the cell grid —
+    * and a one-pixel merge previously fell through to the ratio scorer,
+    * which returns garbage on dimension mismatch: F9's noise filter only
+    * drops ISOLATED specks.) */
+  val MaxSpeckResidue = 2
+
+  private val templateInk: Map[Char, Int] =
+    templates.map { case (c, t) => c -> t.b.count(identity) }
+
+  /** Exact-modulo-specks fallback: find a template equal to some subwindow
+    * of the cell with <= MaxSpeckResidue ink pixels outside it; fewest
+    * residual ink wins, then alphabet order. Confidence 0.9 — exact shape,
+    * known noise. */
+  private def speckTolerant(cell: Bin): Option[(Char, Double)] = {
+    var totalInk = 0
+    var i = 0
+    while (i < cell.b.length) { if (cell.b(i)) totalInk += 1; i += 1 }
+    var bestC = 0.toChar
+    var bestResidue = MaxSpeckResidue + 1
+    for (ch <- alphabet) {
+      val t = templates(ch)
+      val residue = totalInk - templateInk(ch)
+      if (t.w <= cell.w && t.h <= cell.h &&
+          cell.w - t.w <= MaxSpeckResidue && cell.h - t.h <= MaxSpeckResidue &&
+          residue >= 0 && residue < bestResidue) {
+        var dy = 0
+        var found = false
+        while (dy <= cell.h - t.h && !found) {
+          var dx = 0
+          while (dx <= cell.w - t.w && !found) {
+            var ok = true
+            var y = 0
+            while (y < t.h && ok) {
+              var x = 0
+              while (x < t.w && ok) {
+                if (cell(dx + x, dy + y) != t(x, y)) ok = false
+                x += 1
+              }
+              y += 1
+            }
+            if (ok) found = true
+            dx += 1
+          }
+          dy += 1
+        }
+        if (found) { bestC = ch; bestResidue = residue }
+      }
+    }
+    if (bestC != 0.toChar) Some((bestC, 0.9)) else None
+  }
+
   /** Exact classification of a tight-cropped glyph bitmap.
-    * Returns (char, confidence=1.0) on exact match; otherwise the best
-    * template by matching-pixel ratio with deterministic tie-break. */
+    * Returns (char, confidence=1.0) on exact match; else the
+    * speck-tolerant exact fallback (0.9); otherwise the best template by
+    * matching-pixel ratio with deterministic tie-break. */
   def classify(cell: Bin): (Char, Double) = {
     val k = packKey(cell)
     val hit = if (k == -1L) 0.toChar else byKey.getOrElse(k, 0.toChar)
     if (hit != 0.toChar) (hit, 1.0)
-    else {
+    else speckTolerant(cell).getOrElse {
       var bestC = '?'
       var bestScore = -1.0
       for (ch <- alphabet) {

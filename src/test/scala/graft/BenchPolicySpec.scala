@@ -37,6 +37,14 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(nextRetryLevel(m).contains(8))
   }
 
+  test("markTruncated flips exactly the truncated field (idempotent)") {
+    val j = """{"value":1.0,"truncated":false,"scaling":{"gate_passed":true}}"""
+    val t = Bench.markTruncated(j)
+    assert(t.contains("\"truncated\":true") && !t.contains("\"truncated\":false"))
+    assert(Bench.markTruncated(t) == t)
+    assert(t.replace("\"truncated\":true", "\"truncated\":false") == j)
+  }
+
   test("no level past MaxAttempts is ever retried; all exhausted -> None") {
     val full = Vector.fill(MaxAttempts)(a(100, 70))
     assert(nextRetryLevel(Map(8 -> full, 32 -> Vector(a(100, 100))))

@@ -313,6 +313,16 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(exchanges == 3, s"expected 3 exchanges in union plan, got $exchanges:\n$plan")
   }
 
+  test("x5 is self-verifying: every recognized grid equals the planted " +
+       "cell values (golden_mismatch 0)") {
+    val df = SparkEntry.queries("x5_table_selective")(spark, "unused")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assert(df.count() > 0)
+    val bad = df.filter(col("golden_mismatch") =!= 0).count()
+    assert(bad == 0, s"$bad tables with grid/golden mismatches")
+    df.unpersist()
+  }
+
   test("x1 is self-verifying: every row's golden-join mismatch_count is 0") {
     val df = SparkEntry.queries("x1_extract_spans")(spark, "unused")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

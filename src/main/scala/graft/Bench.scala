@@ -266,10 +266,13 @@ object Bench {
       efficiency >= GateTarget || (kEff >= GateTarget && pOverB >= 1.0)
 
     // retry loop: buy more samples for the level most likely mis-measured
-    // while the gate is unmet and the budget allows (phase 2 needs the
-    // rest of the deadline). Least-sampled level first; tie → the one
-    // whose latest attempt was turbulent, then the noise-prone 8-core.
-    val retryDeadlineSec = deadlineSec * 0.55
+    // while the gate is unmet and the budget allows. Phase 2 (queries)
+    // needs ~60-240 s; reserving a fixed 300 s leaves the rest of the
+    // deadline for retries (a 0.55x fraction was observed giving up one
+    // attempt short under heavy interference with 700 s still unused).
+    // Least-sampled level first; tie → the one whose latest attempt was
+    // turbulent, then the noise-prone 8-core.
+    val retryDeadlineSec = (deadlineSec - 300.0).max(deadlineSec * 0.4)
     var retry = nextRetryLevel(attempts.toMap)
     while (!gatePassed && elapsed < retryDeadlineSec && retry.isDefined) {
       val c = retry.get

@@ -210,8 +210,15 @@ object SparkEntry {
   /** Layout segmentation + containment matching over synthetic pages
     * (T7 + J2/J3): per-page block inventory with the reference's label
     * taxonomy (PageHeader / SectionHeader / Text / ListItem / Table /
-    * PageFooter) and its top_k label→score map, serialized
-    * deterministically as "label:score_e2" pairs sorted by score. */
+    * TextInlineMath / Picture / Caption / PageFooter) and its top_k
+    * label→score map, serialized deterministically as "label:score_e2"
+    * pairs sorted by score.
+    * SELF-VERIFYING like x1/x5: the generator knows which fixture it
+    * planted on each page, so every row carries `expected_fixture` (the
+    * label the page's planted fixture must yield, or "none") and
+    * `fixture_found` — 1 iff that label came out of the segmenter (for
+    * figures, BOTH Picture and Caption). Must be 1 on every row, pinned
+    * in LayoutTaxonomySpec. */
   private def layoutSegments(spark: SparkSession, nDocs: Int): DataFrame = {
     import spark.implicits._
     import graft.synth.PageRenderer
@@ -224,16 +231,33 @@ object SparkEntry {
         val crop = graft.kernel.CropConfig.lookup(docId)
         val (layouts, lines) = graft.kernel.Recognize.segmentPageFull(
           PageRenderer.render(docId, page), crop)
+        // fixture classes are mutually exclusive by construction
+        // (PageRenderer eligibility rules), so one expected label suffices
+        val expected =
+          if (PageRenderer.layoutFor(docId, page).table.isDefined) "Table"
+          else if (PageRenderer.figureSpec(docId, page).isDefined) "Picture"
+          else if (PageRenderer.sectionHeaderLine(docId, page).isDefined) "SectionHeader"
+          else if (PageRenderer.nestedBlock(docId, page).isDefined) "ListItem"
+          else if (PageRenderer.mathLine(docId, page).isDefined) "TextInlineMath"
+          else "none"
+        val labels = layouts.map(_.label).toSet
+        val found = expected match {
+          case "none" => 1
+          case "Picture" => if (labels("Picture") && labels("Caption")) 1 else 0
+          case e => if (labels(e)) 1 else 0
+        }
         val mm = graft.kernel.MatchMaking.matchTextsToLayouts(layouts, lines)
         mm.matched.map { m =>
           val topK = m.topK.toSeq
             .sortBy { case (l, s) => (-s, l) }
             .map { case (l, s) => s"$l:${math.round(s * 100)}" }
             .mkString(",")
-          (docId, page, m.position, m.label, topK, m.texts.size, mm.rest.size)
+          (docId, page, m.position, m.label, topK, m.texts.size, mm.rest.size,
+           expected, found)
         }
       }
-    }.toDF("doc_id", "page", "position", "label", "top_k", "n_lines", "n_rest")
+    }.toDF("doc_id", "page", "position", "label", "top_k", "n_lines", "n_rest",
+           "expected_fixture", "fixture_found")
       .orderBy("doc_id", "page", "position")
   }
 

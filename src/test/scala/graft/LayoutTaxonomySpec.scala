@@ -159,11 +159,24 @@ class LayoutTaxonomySpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("x3 query emits more than one distinct label (driver-visible " +
-       "taxonomy surface)") {
-    val distinct = SparkEntry.queries("x3_layout_segment")(spark, "unused")
-      .select("label").distinct().collect().map(_.getString(0)).toSet
+       "taxonomy surface) and every planted fixture label is found " +
+       "(fixture_found = 1 on all rows)") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("x3_layout_segment")(spark, "unused")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val distinct = df.select("label").distinct()
+      .collect().map(_.getString(0)).toSet
     assert(distinct.size > 1, s"labels: $distinct")
     assert(distinct.contains("PageHeader") && distinct.contains("Text"),
            s"labels: $distinct")
+    val bad = df.filter(col("fixture_found") =!= 1)
+      .select("doc_id", "page", "expected_fixture").distinct().collect()
+    assert(bad.isEmpty,
+      s"pages missing their planted fixture label: ${bad.mkString(", ")}")
+    // the fixture surface itself is exercised: several classes planted
+    val fixtures = df.select("expected_fixture").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(fixtures.size >= 4, s"fixture classes seen: $fixtures")
+    df.unpersist()
   }
 }

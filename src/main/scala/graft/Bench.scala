@@ -235,7 +235,13 @@ object Bench {
     def membw(cores: Int): Double =
       pinnedJvm(cores, "2g", "graft.tools.MemBw",
         Seq(cores.toString), s"MEMBW $cores ").head
+    // worst observed attempt wall — the retry loop must not START an
+    // attempt it cannot FINISH inside the retry budget (an in-flight
+    // attempt under interference has been observed taking 100-300 s and
+    // would otherwise eat the query-phase reserve)
+    var maxAttemptSec = 0.0
     def attemptLevel(cores: Int): Attempt = {
+      val a0 = elapsed
       val pre = membw(cores)
       val pipe = best(pinnedJvm(cores, "8g", "graft.BenchLevel",
         Seq(cores.toString, corpusPath, "3"), s"LEVEL $cores "))
@@ -243,6 +249,7 @@ object Bench {
         Seq(cores.toString, nDocs.toString), s"PURE $cores "))
       val post = membw(cores)
       val a = Attempt(pre, post, pipe, kern)
+      maxAttemptSec = math.max(maxAttemptSec, elapsed - a0)
       System.err.println(
         f"[bench] level $cores attempt ${a.pipeSec}%.2fs pipe / " +
         f"${a.kernelSec}%.2fs kernel / membw $pre%.1f->$post%.1f GB/s" +
@@ -273,8 +280,12 @@ object Bench {
     // Least-sampled level first; tie → the one whose latest attempt was
     // turbulent, then the noise-prone 8-core.
     val retryDeadlineSec = (deadlineSec - 300.0).max(deadlineSec * 0.4)
+    // an attempt must also FIT: start + predicted duration (worst observed
+    // x1.2) inside the budget, else the reserve is consumed mid-attempt
+    def attemptFits: Boolean =
+      elapsed + maxAttemptSec * 1.2 < retryDeadlineSec
     var retry = nextRetryLevel(attempts.toMap)
-    while (!gatePassed && elapsed < retryDeadlineSec && retry.isDefined) {
+    while (!gatePassed && attemptFits && retry.isDefined) {
       val c = retry.get
       System.err.println(
         f"[bench] gate unmet (pipe $efficiency%.3f kernel $kEff%.3f " +

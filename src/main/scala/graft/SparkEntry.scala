@@ -231,23 +231,27 @@ object SparkEntry {
         val crop = graft.kernel.CropConfig.lookup(docId)
         val (layouts, lines) = graft.kernel.Recognize.segmentPageFull(
           PageRenderer.render(docId, page), crop)
-        // fixture classes are mutually exclusive by construction
-        // (PageRenderer eligibility rules), so one expected label suffices
+        // fixtures are NOT all mutually exclusive (sectionHeaderLine and
+        // nestedBlock roll independently and can co-occur on one page;
+        // only figure/math exclude the others) — expect the UNION of
+        // every planted fixture's labels
+        val expectedLabels = Seq(
+          if (PageRenderer.layoutFor(docId, page).table.isDefined)
+            Seq("Table") else Nil,
+          if (PageRenderer.figureSpec(docId, page).isDefined)
+            Seq("Picture", "Caption") else Nil,
+          if (PageRenderer.sectionHeaderLine(docId, page).isDefined)
+            Seq("SectionHeader") else Nil,
+          if (PageRenderer.nestedBlock(docId, page).isDefined)
+            Seq("ListItem") else Nil,
+          if (PageRenderer.mathLine(docId, page).isDefined)
+            Seq("TextInlineMath") else Nil).flatten
         val expected =
-          if (PageRenderer.layoutFor(docId, page).table.isDefined) "Table"
-          else if (PageRenderer.figureSpec(docId, page).isDefined) "Picture"
-          else if (PageRenderer.sectionHeaderLine(docId, page).isDefined) "SectionHeader"
-          else if (PageRenderer.nestedBlock(docId, page).isDefined) "ListItem"
-          else if (PageRenderer.mathLine(docId, page).isDefined) "TextInlineMath"
-          else "none"
+          if (expectedLabels.isEmpty) "none" else expectedLabels.mkString(",")
         val labels = layouts.map(_.label).toSet
-        val found = expected match {
-          case "none" => 1
-          case "Picture" => if (labels("Picture") && labels("Caption")) 1 else 0
-          case e => if (labels(e)) 1 else 0
-        }
+        val found = if (expectedLabels.forall(labels)) 1 else 0
         val mm = graft.kernel.MatchMaking.matchTextsToLayouts(layouts, lines)
-        mm.matched.map { m =>
+        val rows = mm.matched.map { m =>
           val topK = m.topK.toSeq
             .sortBy { case (l, s) => (-s, l) }
             .map { case (l, s) => s"$l:${math.round(s * 100)}" }
@@ -255,6 +259,11 @@ object SparkEntry {
           (docId, page, m.position, m.label, topK, m.texts.size, mm.rest.size,
            expected, found)
         }
+        // a page must ALWAYS emit at least one row, or a regression that
+        // produces zero blocks would make its fixture check vanish with it
+        if (rows.nonEmpty) rows
+        else Vector((docId, page, -1, "<no-blocks>", "", 0, mm.rest.size,
+                     expected, found))
       }
     }.toDF("doc_id", "page", "position", "label", "top_k", "n_lines", "n_rest",
            "expected_fixture", "fixture_found")
@@ -281,8 +290,11 @@ object SparkEntry {
         if (lay.table.isDefined) {
           val t = lay.table.get
           val gt = t.bbox2x
-          val golden = (for { i <- 0 until t.rows; j <- 0 until t.cols }
-            yield PageRenderer.cellValue(d.doc_id, pn, i, j)).mkString("|")
+          // dims prefix: a wrong-shaped lattice with the same row-major
+          // values must NOT pass the compare
+          val golden = s"${t.rows}x${t.cols}:" +
+            (for { i <- 0 until t.rows; j <- 0 until t.cols }
+              yield PageRenderer.cellValue(d.doc_id, pn, i, j)).mkString("|")
           Some((d.doc_id, pn, false,
                 s"[[${gt.x1},${gt.y1},${gt.x2},${gt.y2}]]", golden))
         } else None
@@ -291,7 +303,11 @@ object SparkEntry {
     graft.pipeline.ExtractJob.tableDataSelective(spark, inputs, wl)
       .select(col("doc_id"), col("page_number"), col("table_idx"),
               col("x1"), col("y1"), col("x2"), col("y2"), col("n_cells"),
-              concat_ws("|", flatten(col("grid"))).as("grid_flat"),
+              // get() (not element_at): an EMPTY grid must yield a null
+              // prefix -> mismatch, not an ANSI index error
+              format_string("%dx%d:%s", size(col("grid")),
+                size(get(col("grid"), lit(0))),
+                concat_ws("|", flatten(col("grid")))).as("grid_flat"),
               col("n_tokens"))
       .join(broadcast(wl.select(col("doc_id"), col("page_number"),
                                 col("golden_flat"))),
@@ -611,11 +627,16 @@ object SparkEntry {
            SELECT doc_id,
                   SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << b ELSE 0 END) AS hu
            FROM votes GROUP BY doc_id),
+         -- empty/whitespace-only docs have no token rows but the engine
+         -- still assigns them simhash 0 (they pair with each other)
+         sh0 AS (
+           SELECT d.doc_id, COALESCE(sh.hu, 0) AS hu
+           FROM (SELECT doc_id FROM documents) d LEFT JOIN sh USING (doc_id)),
          shs AS (
            SELECT doc_id, hu,
                   CAST(CASE WHEN hu < 9223372036854775808::HUGEINT THEN hu
                             ELSE hu - 18446744073709551616::HUGEINT END AS BIGINT) AS hs
-           FROM sh),
+           FROM sh0),
          bands AS (
            SELECT doc_id, hs, b.band,
                   CAST((hu // (CAST(1 AS HUGEINT) << (16 * b.band))) % 65536 AS BIGINT) AS key
@@ -634,9 +655,11 @@ object SparkEntry {
     // (CorpusOps.d7MinHashLsh docstring).
     "d7_minhash_lsh" ->
       """WITH toks AS (
+           -- \s+ regex split: d7's engine side (minhash_sig + the exact
+           -- verify) tokenizes via TextHashes.tokens, not a space split
            SELECT doc_id, tok, ord FROM (
-             SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-                    generate_subscripts(string_split(text, ' '), 1) AS ord
+             SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok,
+                    generate_subscripts(string_split_regex(text, '\s+'), 1) AS ord
              FROM documents)
            WHERE tok <> ''),
          tri0 AS (
@@ -666,9 +689,11 @@ object SparkEntry {
     // a foreign engine (no JVM-specific hashing anywhere).
     "d8_fingerprints" ->
       """WITH RECURSIVE toks AS (
+           -- \s+ regex split: the engine's TextHashes.tokens (d2 is the
+           -- one SPACE-split operator; d6/d7/d8 are all regex)
            SELECT doc_id, tok, ord FROM (
-             SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-                    generate_subscripts(string_split(text, ' '), 1) AS ord
+             SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok,
+                    generate_subscripts(string_split_regex(text, '\s+'), 1) AS ord
              FROM documents)
            WHERE tok <> ''),
          grams AS (
@@ -678,14 +703,18 @@ object SparkEntry {
                   LEAD(tok, 4) OVER w AS t4
            FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)),
          g5 AS (SELECT doc_id, g FROM grams WHERE t4 IS NOT NULL),
-         fnv(doc_id, g, i, h) AS (
-           SELECT doc_id, g, 0, CAST(14695981039346656037 AS HUGEINT) FROM g5
+         -- hash each DISTINCT gram once (duplicate docs replicate every
+         -- gram; the ~30-step recursion is the expensive CTE), join back
+         dg AS (SELECT DISTINCT g FROM g5),
+         fnv(g, i, h) AS (
+           SELECT g, 0, CAST(14695981039346656037 AS HUGEINT) FROM dg
            UNION ALL
-           SELECT doc_id, g, i + 1,
+           SELECT g, i + 1,
                   (xor(h, CAST(unicode(substr(g, i + 1, 1)) AS HUGEINT))
                    * 1099511628211) % 18446744073709551616::HUGEINT
            FROM fnv WHERE i < length(g)),
-         hashed AS (SELECT doc_id, h FROM fnv WHERE i = length(g)),
+         gh AS (SELECT g, h FROM fnv WHERE i = length(g)),
+         hashed AS (SELECT g5.doc_id, gh.h FROM g5 JOIN gh USING (g)),
          m1 AS (SELECT doc_id, xor(h, h // 1073741824) AS z FROM hashed),
          m2 AS (SELECT doc_id,
                   (((z * (13787848793156543929 // 4294967296)) % 4294967296)

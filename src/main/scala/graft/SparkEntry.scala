@@ -94,7 +94,29 @@ object SparkEntry {
     "q12_json_extract" -> ((s, d) => RelationalOps.q12JsonExtract(s, d)),
     "q13_reband" -> ((s, d) => RelationalOps.q13Reband(s, d)),
     "q14_token_crop" -> ((s, d) => RelationalOps.q14TokenCrop(s, d)),
+    "x9_self_check" -> ((s, _) => selfCheckSummary(s)),
   )
+
+  /** x9: the three self-verifying flagship families' mismatch totals as
+    * ONE ROW, so the driver's correctness artifact carries the OCR
+    * north-rule invariant explicitly instead of only row counts:
+    * x1_mismatch = extracted-span rows differing from the generator
+    * goldens, x3_missing = layout pages whose expected fixture labels
+    * were not all found, x5_mismatch = recognized table grids differing
+    * from the planted cell values. The DuckDB oracle is the constant
+    * (0, 0, 0) row — a hash match IS the invariant (any regression in
+    * extraction, layout, or table structure flips a value and the row
+    * goes red). */
+  private def selfCheckSummary(spark: SparkSession): DataFrame = {
+    val x1 = extractSpans(spark, 24)
+      .agg(count(when(col("mismatch_count") =!= 0L, 1)).as("x1_mismatch"))
+    val x3 = layoutSegments(spark, 48)
+      .agg(count(when(col("fixture_found") === 0, 1)).as("x3_missing"))
+    val x5 = tableSelective(spark, 48)
+      .agg(coalesce(sum(col("golden_mismatch")), lit(0)).cast("long")
+        .as("x5_mismatch"))
+    x1.crossJoin(x3).crossJoin(x5)
+  }
 
   /** Multimodal feature extraction as a standalone distributed query:
     * media spans are opaque refs; each partition decodes its pages (the
@@ -300,7 +322,7 @@ object SparkEntry {
         } else None
       }
     }.toDF("doc_id", "page_number", "full_page", "table_boxes", "golden_flat")
-    graft.pipeline.ExtractJob.tableDataSelective(spark, inputs, wl)
+    val recognized = graft.pipeline.ExtractJob.tableDataSelective(spark, inputs, wl)
       .select(col("doc_id"), col("page_number"), col("table_idx"),
               col("x1"), col("y1"), col("x2"), col("y2"), col("n_cells"),
               // get() (not element_at): an EMPTY grid must yield a null
@@ -309,12 +331,27 @@ object SparkEntry {
                 size(get(col("grid"), lit(0))),
                 concat_ws("|", flatten(col("grid")))).as("grid_flat"),
               col("n_tokens"))
-      .join(broadcast(wl.select(col("doc_id"), col("page_number"),
-                                col("golden_flat"))),
-            Seq("doc_id", "page_number"))
+    // join FROM the work-list outward (round-3 ADVICE): a planted page
+    // yielding ZERO recognized tables must surface as a golden_mismatch=1
+    // row with null grid, not vanish from its own check — x5's relational
+    // version of x3's '<no-blocks>' sentinel. The work-list is the
+    // PRESERVED side, so no broadcast hint (a left-outer cannot
+    // hash-build its preserved side); the equi-join on (doc_id, page)
+    // stays a plain shuffle join — fine, the check is per-page keyed.
+    wl.select(col("doc_id"), col("page_number"), col("golden_flat"))
+      .join(recognized, Seq("doc_id", "page_number"), "left_outer")
       .withColumn("golden_mismatch",
-        (col("grid_flat") =!= col("golden_flat")).cast("int"))
-      .drop("golden_flat")
+        (!(col("grid_flat") <=> col("golden_flat"))).cast("int"))
+      .select(col("doc_id"), col("page_number"),
+              coalesce(col("table_idx"), lit(-1)).as("table_idx"),
+              coalesce(col("x1"), lit(-1)).as("x1"),
+              coalesce(col("y1"), lit(-1)).as("y1"),
+              coalesce(col("x2"), lit(-1)).as("x2"),
+              coalesce(col("y2"), lit(-1)).as("y2"),
+              coalesce(col("n_cells"), lit(-1)).as("n_cells"),
+              coalesce(col("grid_flat"), lit("<no-table>")).as("grid_flat"),
+              coalesce(col("n_tokens"), lit(-1)).as("n_tokens"),
+              col("golden_mismatch"))
       .orderBy("doc_id", "page_number", "table_idx")
   }
 
@@ -901,5 +938,96 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
          ORDER BY query_id, rank""",
+    // e2's oracle re-implements the WHOLE approximate operator in SQL —
+    // the d6/d8 route: the sign-random-projection bucket kernel
+    // (TextHashes.lshSignBucket: SplitMix64-derived hyperplane
+    // coefficients, both hash tables, seeds 42/1337) is reproduced
+    // bit-exactly in DuckDB (SplitMix64 in HUGEINT mod-2^64; the dot
+    // product accumulated d=0..63 LEFT TO RIGHT via a recursive CTE so
+    // double rounding matches the JVM loop order), then the same
+    // bucket-equi-join candidate generation and exact re-rank. A green
+    // row proves the approximate operator itself — buckets, candidates,
+    // ranking — is bit-identical cross-engine, not merely self-consistent.
+    "e2_ann_lsh" ->
+      """WITH RECURSIVE
+         params(tbl, seed) AS (VALUES (0, 42), (1, 1337)),
+         bits AS (SELECT unnest(generate_series(0, 5)) AS b),
+         dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+         -- hyperplane coefficient c(tbl,b,d): SplitMix64(seed ^ (b<<32) ^ d)
+         -- mapped to [-1,1) exactly as the engine does
+         hx0 AS (SELECT tbl, b, d,
+                   xor(xor(CAST(seed AS HUGEINT),
+                           CAST(b AS HUGEINT) * 4294967296),
+                       CAST(d AS HUGEINT)) AS z
+                 FROM params CROSS JOIN bits CROSS JOIN dims),
+         hx1 AS (SELECT tbl, b, d, xor(z, z // 1073741824) AS z FROM hx0),
+         hx2 AS (SELECT tbl, b, d,
+                   (((z * (13787848793156543929 // 4294967296)) % 4294967296)
+                      * 4294967296 + z * (13787848793156543929 % 4294967296))
+                     % 18446744073709551616::HUGEINT AS z
+                 FROM hx1),
+         hx3 AS (SELECT tbl, b, d, xor(z, z // 134217728) AS z FROM hx2),
+         hx4 AS (SELECT tbl, b, d,
+                   (((z * (10723151780598845931 // 4294967296)) % 4294967296)
+                      * 4294967296 + z * (10723151780598845931 % 4294967296))
+                     % 18446744073709551616::HUGEINT AS z
+                 FROM hx3),
+         hx5 AS (SELECT tbl, b, d, xor(z, z // 2147483648) AS z FROM hx4),
+         coef AS (SELECT tbl, b, d,
+                    CAST(z // 2048 AS DOUBLE) / 4503599627370496.0 - 1.0 AS c
+                  FROM hx5),
+         -- dot(vec, hyperplane) accumulated IN DIMENSION ORDER (recursive,
+         -- not SUM(): float addition is order-sensitive and the sign near
+         -- zero decides the bucket bit)
+         acc(vec_id, tbl, b, d, dot) AS (
+           SELECT e.vec_id, tb.tbl, tb.b, 0, CAST(0.0 AS DOUBLE)
+           FROM embeddings e
+           CROSS JOIN (SELECT DISTINCT tbl, b FROM coef) tb
+           UNION ALL
+           SELECT a.vec_id, a.tbl, a.b, a.d + 1,
+                  a.dot + CAST(e.embedding[a.d + 1] AS DOUBLE) * c.c
+           FROM acc a
+           JOIN embeddings e ON e.vec_id = a.vec_id
+           JOIN coef c ON c.tbl = a.tbl AND c.b = a.b AND c.d = a.d
+           WHERE a.d < 64),
+         buckets AS (
+           SELECT vec_id, tbl,
+                  CAST(SUM(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END)
+                       AS BIGINT) AS bucket
+           FROM acc WHERE d = 64 GROUP BY vec_id, tbl),
+         qe AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         cand AS (
+           SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+           FROM buckets qb JOIN buckets nb
+             ON qb.tbl = nb.tbl AND qb.bucket = nb.bucket
+           WHERE qb.vec_id < 10 AND nb.vec_id <> qb.vec_id),
+         scored AS (
+           SELECT c.query_id, c.neighbor_id,
+                  CAST(list_sum(list_transform(list_zip(q.qv, n.qv),
+                    p -> p[1] * p[2])) AS DOUBLE) /
+                  sqrt(CAST(list_sum(list_transform(n.qv, x -> x * x)) AS DOUBLE))
+                    AS score
+           FROM cand c
+           JOIN qe q ON q.vec_id = c.query_id
+           JOIN qe n ON n.vec_id = c.neighbor_id),
+         r AS (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
+         ORDER BY query_id, rank""",
+    // x9's oracle is the constant-zero row: the Spark side AGGREGATES the
+    // three self-verifying families' mismatch columns, so a hash match
+    // against (0,0,0) is exactly the OCR invariant (span equality, layout
+    // fixtures, table grids) holding on every row.
+    "x9_self_check" ->
+      """SELECT CAST(0 AS BIGINT) AS x1_mismatch,
+                CAST(0 AS BIGINT) AS x3_missing,
+                CAST(0 AS BIGINT) AS x5_mismatch""",
   )
 }

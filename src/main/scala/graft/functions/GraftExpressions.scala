@@ -80,6 +80,52 @@ case class DotI64Expr(left: Expression, right: Expression)
   override def prettyName: String = "dot_i64"
 }
 
+/** shingles_sorted(text, n) → array<long>: sorted distinct word n-gram
+  * shingle hashes. The tokenize-once column behind d7's candidate
+  * verification: each document hashes its shingles exactly once, however
+  * many candidate buckets it lands in. */
+case class ShinglesSortedExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextHashes.shingleHashesSorted(v.asInstanceOf[UTF8String].toString, n))
+  override protected def withNewChildInternal(c: Expression): ShinglesSortedExpr =
+    copy(child = c)
+  override def prettyName: String = "shingles_sorted"
+}
+
+/** minhash_from_shingles(sh: array<long>, k) → array<long>: MinHash
+  * signature derived from a precomputed shingle-hash column, so sig and
+  * verification share ONE tokenization pass per document. */
+case class MinHashFromShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextHashes.minHashFromShingles(v.asInstanceOf[ArrayData].toLongArray(), k))
+  override protected def withNewChildInternal(c: Expression): MinHashFromShinglesExpr =
+    copy(child = c)
+  override def prettyName: String = "minhash_from_shingles"
+}
+
+/** intersect_count_sorted(a, b) → long: common-element count of two
+  * SORTED distinct long arrays — a linear merge walk on primitive arrays
+  * (array_intersect + size would hash-build per row; this is the d7
+  * verify hot loop). */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Long.valueOf(TextHashes.sortedIntersectCount(
+      l.asInstanceOf[ArrayData].toLongArray(),
+      r.asInstanceOf[ArrayData].toLongArray()))
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectCountExpr = copy(l, r)
+  override def prettyName: String = "intersect_count_sorted"
+}
+
 /** fingerprint64(text, window) → long (winnowing-style min rolling hash). */
 case class FingerprintExpr(child: Expression, window: Int)
     extends UnaryExpression with CodegenFallback {
@@ -115,5 +161,11 @@ object GraftFunctions {
       es => FingerprintExpr(es.head, lit(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("dot_i64",
       es => DotI64Expr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("shingles_sorted",
+      es => ShinglesSortedExpr(es.head, lit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_from_shingles",
+      es => MinHashFromShinglesExpr(es.head, lit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("intersect_count_sorted",
+      es => SortedIntersectCountExpr(es.head, es(1)), "scala_udf")
   }
 }

@@ -71,9 +71,33 @@ object TextHashes {
     out
   }
 
-  /** MinHash signature: k minimums over per-seed mixed shingle hashes. */
-  def minHashSig(text: String, k: Int, shingleN: Int): Array[Long] = {
-    val sh = shingleHashes(text, shingleN)
+  /** Sorted distinct word n-gram shingle hashes — the one-pass-per-doc
+    * column d7 verification joins (never raw text: a doc in k candidate
+    * buckets must not re-tokenize k times). Sorted so candidate overlap
+    * is a linear merge walk ([[sortedIntersectCount]]). */
+  def shingleHashesSorted(text: String, n: Int): Array[Long] = {
+    val a = shingleHashes(text, n)
+    java.util.Arrays.sort(a)
+    a
+  }
+
+  /** Count of common elements of two sorted distinct long arrays. */
+  def sortedIntersectCount(a: Array[Long], b: Array[Long]): Long = {
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  /** MinHash signature from a precomputed (distinct) shingle-hash set —
+    * order-insensitive, so it composes with [[shingleHashesSorted]]
+    * without re-tokenizing. */
+  def minHashFromShingles(sh: Array[Long], k: Int): Array[Long] = {
     val sig = new Array[Long](k)
     var s = 0
     while (s < k) {
@@ -89,6 +113,10 @@ object TextHashes {
     }
     sig
   }
+
+  /** MinHash signature: k minimums over per-seed mixed shingle hashes. */
+  def minHashSig(text: String, k: Int, shingleN: Int): Array[Long] =
+    minHashFromShingles(shingleHashes(text, shingleN), k)
 
   /** Sign-random-projection LSH bucket for a float vector: bit b = sign of
     * dot(v, h_b) where h_b is a deterministic pseudo-random hyperplane. */

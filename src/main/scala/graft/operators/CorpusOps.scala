@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{GraftFunctions, TextHashes}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -160,10 +160,14 @@ object CorpusOps {
     * corpora the recall dial is the band count (8x3 at k=24). */
   def d7MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    import s.implicits._
+    // ONE tokenization pass per document: the sorted shingle-hash array is
+    // computed once and the MinHash signature is derived FROM it — a doc
+    // sitting in k candidate buckets never re-shingles (round-3 verdict:
+    // per-pair re-tokenization + shipping raw text twice was the dominant
+    // cost at scale). Candidates join the (smaller, binary) hash arrays.
     val docs = table(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-              expr("minhash_sig(text, 24, 3)").as("sig"))
+      .select(col("doc_id"), expr("shingles_sorted(text, 3)").as("sh"))
+      .withColumn("sig", expr("minhash_from_shingles(sh, 24)"))
     val bands = docs.select(col("doc_id"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),
@@ -175,25 +179,26 @@ object CorpusOps {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact shingle Jaccard (kernel-side, bounded)
-    val texts = docs.select(col("doc_id"), col("text"))
+    // verify candidates with exact shingle Jaccard over the precomputed
+    // sorted arrays — a native merge-walk intersection, no per-pair
+    // hashing, no set materialization
+    val shingles = docs.select(col("doc_id"), col("sh"))
     cand
-      .join(texts.withColumnRenamed("doc_id", "doc_a")
-                 .withColumnRenamed("text", "text_a"), "doc_a")
-      .join(texts.withColumnRenamed("doc_id", "doc_b")
-                 .withColumnRenamed("text", "text_b"), "doc_b")
-      .select("doc_a", "doc_b", "text_a", "text_b") // joins reorder columns
-      .as[(Long, Long, String, String)]
-      .map { case (a, b, ta, tb) =>
-        val sa = TextHashes.shingleHashes(ta, 3).toSet
-        val sb = TextHashes.shingleHashes(tb, 3).toSet
-        val inter = sa.intersect(sb).size.toLong
-        val union = (sa.size + sb.size).toLong - inter
-        val jacE6 = if (union == 0) 0L else inter * 1000000L / union
-        (a, b, jacE6)
-      }
-      .toDF("doc_a", "doc_b", "jac_e6")
+      .join(shingles.withColumnRenamed("doc_id", "doc_a")
+                    .withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(shingles.withColumnRenamed("doc_id", "doc_b")
+                    .withColumnRenamed("sh", "sh_b"), "doc_b")
+      .withColumn("inter", expr("intersect_count_sorted(sh_a, sh_b)"))
+      .withColumn("uni",
+        size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") -
+        col("inter"))
+      .withColumn("jac_e6",
+        // div, not `/`: Spark's `/` on longs is a double divide; the
+        // oracle (and the old kernel-side map) floor-divides integers
+        when(col("uni") === 0L, 0L)
+          .otherwise(expr("(inter * 1000000L) div uni")))
       .filter(col("jac_e6") >= 100000)
+      .select("doc_a", "doc_b", "jac_e6")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -347,8 +352,14 @@ object CorpusOps {
     // the edge set fails the job loudly: wrong clusters never ship. The
     // target is the audit-cost dial; the fix for a tripped audit is
     // raising D9Tables.
+    // env escape valves (no rebuild needed when benching other scale
+    // factors): audit sample target + propagation round cap
+    val auditTarget = sys.env.get("SPARK_GRAFT_D10_AUDIT_TARGET")
+      .map(_.toLong).getOrElse(D10AuditSampleTarget)
+    val maxRounds = sys.env.get("SPARK_GRAFT_D10_MAX_ROUNDS")
+      .map(_.toInt).getOrElse(25)
     val nVec = nodes.count() // metadata action (d10 is an eager resolver)
-    val auditMod = math.max(1L, nVec / D10AuditSampleTarget)
+    val auditMod = math.max(1L, nVec / auditTarget)
     val sampled = quantized(s, dir)
       .filter(pmod(xxhash64(col("vec_id")), lit(auditMod)) === 0)
       .withColumn("nrm", dotCol(col("qv"), col("qv")))
@@ -380,7 +391,7 @@ object CorpusOps {
     var labels = nodes.withColumn("lbl", col("vec_id")).localCheckpoint(true)
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 25) {
+    while (!converged && rounds < maxRounds) {
       val msgs = edgesBi.join(labels, col("src") === col("vec_id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
       // checkpoint BEFORE the self-join: `stepped` feeds both sides, and
@@ -404,6 +415,9 @@ object CorpusOps {
       converged = changed == 0
       rounds += 1
     }
+    System.err.println(
+      s"[d10] ${if (converged) "converged" else "ROUND CAP HIT"} after " +
+      s"$rounds round(s) (cap $maxRounds, audit target $auditTarget)")
     edges.unpersist()
     labels.select(col("vec_id"), col("lbl").as("cluster_id"))
       .orderBy("vec_id")
@@ -418,11 +432,17 @@ object CorpusOps {
     * no driver-side math beyond collecting K×dim longs. Search probes the
     * query's top-`nprobe` centroid lists and exact-re-ranks inside them
     * only, so the corpus side never all-pairs. Rows-only (centroid ids are
-    * engine-internal); recall vs e1 gated in OperatorSpec. */
-  def e3AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    * engine-internal); recall vs e1 gated in OperatorSpec.
+    *
+    * Production dials: `k` (nlist) sets cell granularity — each probe
+    * scans ~N/k of the corpus, so recall-neutral speedup comes from
+    * raising k AND nprobe together (probed fraction nprobe/k); `nprobe`
+    * trades recall for scan cost directly; `topK` is the result size.
+    * Defaults (8, 3, 3) probe ~38% of a near-orthogonal test corpus and
+    * hold the OperatorSpec recall gate at >= 0.9 vs exact e1. */
+  def e3AnnIvf(s: SparkSession, dir: String, k: Int = 8, nprobe: Int = 3,
+               topK: Int = 3): DataFrame = {
     GraftFunctions.register(s)
-    val k = 8
-    val nprobe = 3
     val q = quantized(s, dir).withColumn("nrm", dotCol(col("qv"), col("qv")))
     val n = q.count() // one metadata action: sets the seeded-init stride
     val step = math.max(1L, n / k)
@@ -479,7 +499,7 @@ object CorpusOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
       .orderBy("query_id", "rank")
   }
@@ -508,18 +528,33 @@ object CorpusOps {
   }
 
   /** e2: LSH-bucketed approximate NN — sign-random-projection buckets
-    * (native Expression), two hash tables for recall, candidates share a
-    * (table, bucket), exact re-rank inside. The scale path: bucket join
-    * instead of all-pairs. Rows-only; recall gate in OperatorSpec. */
-  def e2AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    * (native Expression), `tables` hash tables for recall, candidates
+    * share a (table, bucket), exact re-rank inside. The scale path:
+    * bucket join instead of all-pairs.
+    *
+    * Production dials (defaults pinned by the DuckDB oracle, which
+    * re-implements the whole operator in SQL — SparkEntry.oracleSql):
+    * `bits` sets bucket selectivity (candidate volume ~ N²/2^bits per
+    * table — raise for bigger corpora/cheaper verify, lower for recall);
+    * `tables` multiplies recall at linear candidate cost (miss prob is
+    * per-table-miss ^ tables); `topK` is the result size. The same
+    * trade-off family as d9's D9Bits/D9Tables (that docstring derives the
+    * collision math). Recall vs the e1 exact baseline additionally gated
+    * in OperatorSpec. */
+  def e2AnnLsh(s: SparkSession, dir: String, tables: Int = 2,
+               bits: Int = 6, topK: Int = 3): DataFrame = {
     GraftFunctions.register(s)
+    // default seeds 42/1337 are part of the oracled contract; extra
+    // tables derive deterministic seeds
+    val seeds = (Seq(42L, 1337L) ++ (2 until tables).map(t => 7919L * t + 13L))
+      .take(tables)
     val emb = quantized(s, dir)
       .join(table(s, dir, "embeddings").select(col("vec_id"), col("embedding")), "vec_id")
       .select(col("vec_id"), col("qv"),
-        explode(array(
-          struct(lit(0).as("tbl"), expr("lsh_bucket(embedding, 6, 42)").as("bucket")),
-          struct(lit(1).as("tbl"), expr("lsh_bucket(embedding, 6, 1337)").as("bucket"))
-        )).as("tb"))
+        explode(array(seeds.zipWithIndex.map { case (seed, t) =>
+          struct(lit(t).as("tbl"),
+                 expr(s"lsh_bucket(embedding, $bits, $seed)").as("bucket"))
+        }: _*)).as("tb"))
       .select(col("vec_id"), col("qv"), col("tb.tbl"), col("tb.bucket"))
     val q = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("qa"),
@@ -537,7 +572,7 @@ object CorpusOps {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+      .filter(col("rank") <= topK)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
       .orderBy("query_id", "rank")
   }

@@ -33,6 +33,37 @@ object Checkpoint {
             "doc_id", org.apache.spark.sql.types.StringType))))
   }
 
+  /** Running done-doc total per snapshot, kept as a tiny driver-side
+    * metadata file beside the tables — the run SUMMARY must never cost a
+    * scan of the done table (at 100 TB that scan is a real job, and it
+    * carries no information the lineage appends didn't already have).
+    * Crash-safe via write-temp-then-atomic-move; if the file is ever lost
+    * the next [[append]] restarts the total from this run (summary-only
+    * metadata — resume correctness never reads it). */
+  private def totalPath(ckptDir: String, snapshotId: String) =
+    Paths.get(ckptDir, "meta", s"done_total_$snapshotId")
+
+  /** The running done-doc total for this snapshot (0 if never written). */
+  def doneTotal(ckptDir: String, snapshotId: String): Long = {
+    val p = totalPath(ckptDir, snapshotId)
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  private def bumpTotal(ckptDir: String, snapshotId: String, delta: Long): Long = {
+    val p = totalPath(ckptDir, snapshotId)
+    Files.createDirectories(p.getParent)
+    val next = doneTotal(ckptDir, snapshotId) + delta
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp,
+      next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    next
+  }
+
   /** Append done + lineage rows derived from a run's written OutRows.
     * The scan is column-pruned: only the small metadata columns are read,
     * never the span payloads. Returns the docs completed this run — taken
@@ -71,6 +102,7 @@ object Checkpoint {
     val docsThisRun = lineageRows
       .agg(coalesce(sum(col("doc_count")), lit(0L))).head().getLong(0)
     lineageRows.unpersist()
+    bumpTotal(ckptDir, snapshotId, docsThisRun)
     docsThisRun
   }
 

@@ -156,8 +156,10 @@ object ExtractJob {
     // job over the run's files (they were just written; every scan of
     // them at 100 TB is a real job)
     val thisRun = Checkpoint.append(spark, ckptDir, snapId, written)
-    val n = Checkpoint.doneDocs(spark, ckptDir, snapId).count()
-    RunSummary(snapId, n, thisRun)
+    // summary total from checkpoint METADATA (the lineage appends already
+    // counted these docs) — never a scan of the done table, which at
+    // 100 TB is a real job run purely for a log line
+    RunSummary(snapId, Checkpoint.doneTotal(ckptDir, snapId), thisRun)
   }
 
   /** Public view of the output table: just (doc_id, spans). */

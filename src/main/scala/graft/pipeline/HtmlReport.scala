@@ -32,9 +32,18 @@ object HtmlReport {
   /** doc_id comes from arbitrary input parquet and lands in a file PATH:
     * anything outside [A-Za-z0-9._-] becomes '_' so a crafted id (e.g.
     * containing '/' or '..') can never escape outDir. */
-  private def safeName(s: String): String =
-    s.map(c => if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c
-               else '_')
+  /** Filesystem-safe page filename stem. Sanitization can COLLIDE
+    * ('a/b' and 'a_b' both map to 'a_b'), and two colliding failing
+    * pages would silently overwrite each other's HTML — so whenever
+    * sanitization changed the string, a short hash of the RAW doc_id is
+    * appended, making distinct ids distinct filenames. */
+  private def safeName(s: String): String = {
+    val sanitized =
+      s.map(c => if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c
+                 else '_')
+    if (sanitized == s) s
+    else f"${sanitized}-${graft.functions.TextHashes.fnv64(s) & 0xFFFFFFFFL}%08x"
+  }
 
   /** One failing page → self-contained HTML (deterministic row order). */
   def renderPage(docId: String, page: Int, rows: Seq[ReportRow]): String = {

@@ -5,12 +5,13 @@ import graft.synth.CorpusGen
 
 /** Pure-kernel scaling measurement (no Spark): the same corpus docs, a
   * fixed thread pool, ExtractKernel only. Run pinned:
-  *   taskset -c 0-(N-1) java ... graft.tools.PureLevel N 4800
+  *   taskset -c 0-(N-1) java ... graft.tools.PureLevel N 4800 [runs]
   * Distinguishes hardware scaling limits from Spark task-path costs. */
 object PureLevel {
   def main(args: Array[String]): Unit = {
     val threads = args(0).toInt
     val nDocs = args(1).toInt
+    val runs = if (args.length > 2) args(2).toInt else 3
     val (inputs, _) = CorpusGen.corpus(nDocs, heavyEvery = 50)
     def once(): Double = {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
@@ -33,7 +34,7 @@ object PureLevel {
       (System.nanoTime() - t0) / 1e9
     }
     once() // warm-up
-    val times = (1 to 3).map(_ => once())
+    val times = (1 to runs).map(_ => once())
     println(s"PURE $threads ${times.map(t => f"$t%.2f").mkString(" ")} " +
       f"best_docs_per_sec=${nDocs / times.min}%.1f")
   }

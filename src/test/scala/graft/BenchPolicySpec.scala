@@ -1,17 +1,28 @@
 package graft
 
-import graft.Bench.{Attempt, nextRetryLevel, MaxAttempts, TurbulenceFrac}
+import graft.Bench.{Attempt, GateTarget, MaxPairs, PairAttempt, TurbulenceFrac,
+  evalGate, nextPairFits}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins the bench's interference-aware measurement policy (pure parts):
-  * turbulence detection on bracketed membw probes and the retry-level
-  * selection order. The policy decides which pinned level gets re-measured
-  * when the scaling gate is unmet — it must be deterministic and favor the
-  * level most likely mis-measured. */
+/** Pins the bench's paired-window measurement policy (pure parts):
+  * turbulence detection on bracketed membw probes, the per-pair and
+  * pooled gate math, the single end-of-sampling gate evaluation, and the
+  * fixed sampling plan's independence from measured values (the round-3
+  * optional-stopping finding: the sample count must not depend on the
+  * verdict). */
 class BenchPolicySpec extends AnyFunSuite {
 
-  private def a(bwPre: Double, bwPost: Double): Attempt =
-    Attempt(bwPre, bwPost, pipeSec = 10.0, kernelSec = 9.0)
+  private def a(bwPre: Double, bwPost: Double,
+                pipe: Double = 10.0, kern: Double = 9.0): Attempt =
+    Attempt(bwPre, bwPost, pipeSec = pipe, kernelSec = kern)
+
+  /** A pair with the given within-window efficiencies at membw eff 1.0
+    * (bw32 = 4*bw8), so pOverB == pipeEff unless bw is overridden. */
+  private def pair(pipeEff: Double, kernEff: Double,
+                   bw8: Double = 25.0, bw32: Double = 100.0): PairAttempt =
+    PairAttempt(
+      a(bw8, bw8, pipe = 40.0 * pipeEff, kern = 40.0 * kernEff),
+      a(bw32, bw32, pipe = 10.0, kern = 10.0))
 
   test("turbulent iff the bracketing probes disagree by > TurbulenceFrac") {
     assert(!a(100, 100).turbulent)
@@ -19,22 +30,70 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(a(100, 80).turbulent)
     assert(a(80, 100).turbulent) // direction-agnostic
     assert(a(100, 80).bw == 100.0) // capacity = max of the two probes
+    assert(PairAttempt(a(100, 80), a(100, 100)).turbulent) // either side
   }
 
-  test("retry prefers the least-sampled level") {
-    val m = Map(8 -> Vector(a(100, 100), a(100, 100)),
-                32 -> Vector(a(100, 100)))
-    assert(nextRetryLevel(m).contains(32))
+  test("per-pair efficiency math: T8/(4*T32), bw32/(4*bw8), pipe/membw") {
+    val p = PairAttempt(a(25, 25, pipe = 32.0, kern = 36.0),
+                        a(90, 100, pipe = 10.0, kern = 10.0))
+    assert(math.abs(p.pipeEff - 0.8) < 1e-12)
+    assert(math.abs(p.kernEff - 0.9) < 1e-12)
+    assert(math.abs(p.bwEff - 1.0) < 1e-12)
+    assert(math.abs(p.pOverB - 0.8) < 1e-12)
   }
 
-  test("equal samples: the level with a turbulent latest attempt wins") {
-    val m = Map(8 -> Vector(a(100, 100)), 32 -> Vector(a(100, 70)))
-    assert(nextRetryLevel(m).contains(32))
+  test("per-pair gate: pipeline>=0.8 OR (kernel>=0.8 AND pipe/membw>=1.0)") {
+    assert(pair(0.8, 0.5).passed)          // raw pipeline path
+    assert(!pair(0.79, 0.79).passed)       // neither disjunct
+    // kernel path needs BOTH kernel>=0.8 and pOverB>=1.0
+    assert(!pair(0.7, 0.9).passed)         // pOverB = 0.7 < 1.0
+    // membw eff 0.625 (bw32=100, bw8=40): pOverB = 0.7/0.625 = 1.12
+    assert(pair(0.7, 0.9, bw8 = 40.0).passed)
+    assert(!pair(0.7, 0.79, bw8 = 40.0).passed) // kernel below target
   }
 
-  test("equal samples, both calm: the noise-prone 8-core level wins") {
-    val m = Map(8 -> Vector(a(100, 100)), 32 -> Vector(a(100, 100)))
-    assert(nextRetryLevel(m).contains(8))
+  test("gate passes iff pooled passes OR any single pair passes") {
+    val bad = pair(0.6, 0.6)
+    val good = pair(0.85, 0.9)
+    assert(evalGate(Seq(bad, good, bad)).passed)
+    assert(evalGate(Seq(bad, good, bad)).pairPassed)
+    assert(!evalGate(Seq(bad, bad)).passed)
+    assert(evalGate(Seq(good)).passed)
+  }
+
+  test("pooled estimators: min wall per level across all windows") {
+    // each level's fastest run may come from a different window — pooled
+    // pipe = min(32,40)/(4*min(16,10)) = 0.8, kern = 36/(4*10) = 0.9
+    val p1 = PairAttempt(a(25, 25, pipe = 32.0, kern = 36.0),
+                         a(100, 100, pipe = 16.0, kern = 12.0))
+    val p2 = PairAttempt(a(20, 30, pipe = 40.0, kern = 40.0),
+                         a(100, 90, pipe = 10.0, kern = 10.0))
+    val g = evalGate(Seq(p1, p2))
+    assert(math.abs(g.pipeEff - 0.8) < 1e-12)
+    assert(math.abs(g.kernEff - 0.9) < 1e-12)
+    assert(math.abs(g.bwEff - 100.0 / 120.0) < 1e-12) // max bw per level
+    assert(g.pooledPassed && g.passed)
+  }
+
+  test("pooled bandwidth is MAX across windows (depressed probe = interference)") {
+    val g = evalGate(Seq(pair(0.7, 0.7, bw8 = 25, bw32 = 80),
+                         pair(0.7, 0.7, bw8 = 20, bw32 = 100)))
+    assert(math.abs(g.bwEff - 1.0) < 1e-12) // 100/(4*25), not within-pair
+  }
+
+  test("sampling plan depends only on time budget, never on the verdict") {
+    // fits: below MaxPairs and predicted wall inside budget
+    assert(nextPairFits(1, elapsedSec = 100, worstPairSec = 100, budgetSec = 500))
+    // budget cut: prediction (elapsed + worst*1.2) crosses the budget
+    assert(!nextPairFits(1, elapsedSec = 390, worstPairSec = 100, budgetSec = 500))
+    // hard cap at MaxPairs
+    assert(!nextPairFits(MaxPairs, elapsedSec = 0, worstPairSec = 1, budgetSec = 1e9))
+    // no efficiency/verdict parameter exists in the signature at all —
+    // the plan CANNOT stop early on a pass or extend on a fail
+  }
+
+  test("GateTarget is the documented 0.8") {
+    assert(GateTarget == 0.8)
   }
 
   test("markTruncated flips exactly the truncated field (idempotent)") {
@@ -43,12 +102,5 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(t.contains("\"truncated\":true") && !t.contains("\"truncated\":false"))
     assert(Bench.markTruncated(t) == t)
     assert(t.replace("\"truncated\":true", "\"truncated\":false") == j)
-  }
-
-  test("no level past MaxAttempts is ever retried; all exhausted -> None") {
-    val full = Vector.fill(MaxAttempts)(a(100, 70))
-    assert(nextRetryLevel(Map(8 -> full, 32 -> Vector(a(100, 100))))
-             .contains(32))
-    assert(nextRetryLevel(Map(8 -> full, 32 -> full)).isEmpty)
   }
 }

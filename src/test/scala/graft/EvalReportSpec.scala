@@ -40,6 +40,26 @@ class EvalReportSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(html.contains("stroke-dasharray"))
   }
 
+  test("doc_ids colliding under sanitization get distinct filenames") {
+    import graft.pipeline.HtmlReport
+    import spark.implicits._
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-html-collide").toString
+    // 'a/b' sanitizes to 'a_b' — identical to the literal doc_id 'a_b';
+    // without disambiguation one page would overwrite the other
+    val rows = Seq(
+      ("a/b", 1, "table", "fn", -1, -1, -1, -1, 1, 1, 9, 9, 0L),
+      ("a_b", 1, "table", "fn", -1, -1, -1, -1, 2, 2, 8, 8, 0L))
+      .toDF("doc_id", "page", "kind", "status",
+            "px1", "py1", "px2", "py2", "gx1", "gy1", "gx2", "gy2", "iou_e6")
+    val n = HtmlReport.write(spark, rows, outDir)
+    assert(n == 2)
+    val files = new java.io.File(outDir).listFiles.map(_.getName).toSet
+    assert(files.size == 2, s"collision: only $files written")
+    // the untouched id keeps its plain name; the sanitized one is hashed
+    assert(files.contains("a_b_p1.html"), files.toString)
+  }
+
   test("report rows reconcile with the x6 counters") {
     val report = SparkEntry.queries("x7_eval_report")(spark, "unused").collect()
     val agg = SparkEntry.queries("x6_table_eval")(spark, "unused").collect().head

@@ -189,6 +189,38 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(msgs.contains("length mismatch"), msgs)
   }
 
+  test("d7 precompute kernels: sorted-intersect = set intersect, and " +
+       "minhash-from-shingles = minhash-from-text (one tokenization pass)") {
+    import graft.functions.TextHashes
+    val texts = Seq("a b c d e f g", "c d e f g h i j", "", "x y", "a a a b b c",
+                    "the quick brown fox jumps over the lazy dog")
+    for (ta <- texts; tb <- texts) {
+      val sa = TextHashes.shingleHashesSorted(ta, 3)
+      val sb = TextHashes.shingleHashesSorted(tb, 3)
+      assert(sa.toSeq == sa.toSeq.sorted && sa.toSet.size == sa.length)
+      assert(TextHashes.sortedIntersectCount(sa, sb) ==
+             TextHashes.shingleHashes(ta, 3).toSet
+               .intersect(TextHashes.shingleHashes(tb, 3).toSet).size.toLong,
+             s"'$ta' vs '$tb'")
+    }
+    for (t <- texts)
+      assert(TextHashes.minHashFromShingles(
+               TextHashes.shingleHashesSorted(t, 3), 24).toSeq ==
+             TextHashes.minHashSig(t, 24, 3).toSeq, s"'$t'")
+    // the registered native expressions agree with the kernels
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val row = Seq(Tuple1("a b c d e")).toDF("t")
+      .selectExpr("shingles_sorted(t, 3) AS sh")
+      .selectExpr("minhash_from_shingles(sh, 4) AS sig",
+                  "intersect_count_sorted(sh, sh) AS n")
+      .collect().head
+    assert(row.getAs[Seq[Long]]("sig") ==
+           TextHashes.minHashSig("a b c d e", 4, 3).toSeq)
+    assert(row.getAs[Long]("n") ==
+           TextHashes.shingleHashes("a b c d e", 3).length.toLong)
+  }
+
   test("d7: LSH candidate set has 100% recall vs exact all-pairs Jaccard " +
        "(the DuckDB oracle's pair set) on the driver testdata") {
     import graft.functions.TextHashes

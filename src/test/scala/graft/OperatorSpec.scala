@@ -215,7 +215,7 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .selectExpr("minhash_from_shingles(sh, 4) AS sig",
                   "intersect_count_sorted(sh, sh) AS n")
       .collect().head
-    assert(row.getAs[Seq[Long]]("sig") ==
+    assert(row.getSeq[Long](0).toSeq ==
            TextHashes.minHashSig("a b c d e", 4, 3).toSeq)
     assert(row.getAs[Long]("n") ==
            TextHashes.shingleHashes("a b c d e", 3).length.toLong)

@@ -160,10 +160,18 @@ object Bench {
   val MaxPairs = 5
   /** Per-view efficiency gate target (BASELINE.md). */
   val GateTarget = 0.8
-  /** Timed pipeline/kernel runs per attempt. 2 (not 3): with pairs the
-    * robustness budget is spent on more windows, not more runs per
-    * window — min-of-2 per attempt, 4-5 attempts per level. */
-  val RunsPerAttempt = 2
+  /** Timed pipeline runs per attempt: 1. The robustness budget is spent
+    * on more measurement WINDOWS, not more runs per window — the pooled
+    * estimator is min over up to [[MaxPairs]] single runs (= the old
+    * min-of-N), and cheap pairs are what lets 2-3 windows fit the budget
+    * even when the host degrades 3x (observed live: an 821 s pair left
+    * room for nothing else). */
+  val RunsPerAttempt = 1
+  /** Timed kernel runs per attempt: 1. The kernel probe at 8 cores costs
+    * nearly as much as the pipeline probe; min-of-1 per window pooled
+    * across up to [[MaxPairs]] windows is effectively min-of-5, and the
+    * per-pair kernel disjunct only needs the QUIET window to read true. */
+  val KernelRunsPerAttempt = 1
 
   /** One bracketed measurement of a scaling level: bandwidth probe,
     * pipeline (min of its timed runs), pure kernel, bandwidth probe. */
@@ -210,12 +218,19 @@ object Bench {
   }
 
   /** The fixed plan's only data-dependence: wall clock. One more pair is
-    * measured iff the prediction (worst pair seen x 1.2) fits the retry
-    * budget. Depends on elapsed time only — never on measured
-    * efficiencies (no optional stopping). */
-  def nextPairFits(done: Int, elapsedSec: Double, worstPairSec: Double,
-                   budgetSec: Double): Boolean =
-    done < MaxPairs && elapsedSec + worstPairSec * 1.2 < budgetSec
+    * measured iff the predicted cost fits the retry budget. The predictor
+    * is the MIDPOINT of the cheapest and costliest observed pair (x1.1):
+    * a worst-pair predictor proved too pessimistic live — one pair
+    * measured under a 4x interference spike would have blocked a second,
+    * much cheaper pair with ~800 s of budget left. An overrun only delays
+    * the query phase, which has its own per-query caps and deadline
+    * skips. Depends on wall times only — never on measured efficiencies
+    * (no optional stopping). */
+  def nextPairFits(done: Int, elapsedSec: Double, pairWallsSec: Seq[Double],
+                   budgetSec: Double): Boolean = {
+    val predicted = (pairWallsSec.min + pairWallsSec.max) / 2.0 * 1.1
+    done < MaxPairs && elapsedSec + predicted < budgetSec
+  }
 
   /** Last emitted artifact line — the watchdog re-emits it with
     * `truncated` flipped true before halting. */
@@ -299,7 +314,7 @@ object Bench {
         Seq(cores.toString, corpusPath, RunsPerAttempt.toString),
         s"LEVEL $cores "))
       val kern = best(pinnedJvm(cores, "4g", "graft.tools.PureLevel",
-        Seq(cores.toString, nDocs.toString, RunsPerAttempt.toString),
+        Seq(cores.toString, nDocs.toString, KernelRunsPerAttempt.toString),
         s"PURE $cores "))
       val post = membw(cores)
       val a = Attempt(pre, post, pipe, kern)
@@ -309,11 +324,9 @@ object Bench {
         (if (a.turbulent) " TURBULENT" else "") + f" | t=$elapsed%.0fs")
       a
     }
-    // worst observed pair wall — the plan must not START a pair it cannot
-    // FINISH inside the retry budget (an in-flight attempt under
-    // interference has been observed taking 100-300 s and would otherwise
-    // eat the query-phase reserve)
-    var worstPairSec = 0.0
+    // observed pair walls feed the budget predictor — the plan must not
+    // START a pair it cannot plausibly FINISH inside the retry budget
+    var pairWalls = Vector.empty[Double]
     def measurePair(idx: Int): PairAttempt = {
       val p0 = elapsed
       // alternate level order across pairs: neither level systematically
@@ -321,12 +334,13 @@ object Bench {
       val pair =
         if (idx % 2 == 0) { val a8 = attemptLevel(8); PairAttempt(a8, attemptLevel(32)) }
         else { val a32 = attemptLevel(32); PairAttempt(attemptLevel(8), a32) }
-      worstPairSec = math.max(worstPairSec, elapsed - p0)
+      pairWalls :+= elapsed - p0
       System.err.println(
         f"[bench] pair ${idx + 1} pipe ${pair.pipeEff}%.3f kernel " +
         f"${pair.kernEff}%.3f membw ${pair.bwEff}%.3f pipe/membw " +
         f"${pair.pOverB}%.3f${if (pair.turbulent) " TURBULENT" else ""} " +
-        f"-> ${if (pair.passed) "pass" else "fail"} | t=$elapsed%.0fs")
+        f"-> ${if (pair.passed) "pass" else "fail"} | " +
+        f"wall ${pairWalls.last}%.0fs | t=$elapsed%.0fs")
       pair
     }
 
@@ -336,7 +350,7 @@ object Bench {
     // rest of the deadline for measurement.
     val retryDeadlineSec = (deadlineSec - 300.0).max(deadlineSec * 0.4)
     var pairs = Vector(measurePair(0))
-    while (nextPairFits(pairs.size, elapsed, worstPairSec, retryDeadlineSec))
+    while (nextPairFits(pairs.size, elapsed, pairWalls, retryDeadlineSec))
       pairs :+= measurePair(pairs.size)
 
     // ---- gate: evaluated once over the complete sample

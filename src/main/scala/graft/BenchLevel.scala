@@ -37,7 +37,10 @@ object BenchLevel {
       out.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    once(); once() // warm-up x2 (JIT), discarded
+    // warm-up x1 (JIT), discarded: with the round-4 paired protocol the
+    // robustness budget buys more measurement WINDOWS, not more runs per
+    // window — cross-window min pooling replaces the second warm-up
+    once()
     val times = (1 to runs).map(_ => once())
     spark.stop()
     println(s"LEVEL $cores ${times.mkString(" ")}")

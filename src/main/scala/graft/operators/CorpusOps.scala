@@ -396,22 +396,31 @@ object CorpusOps {
         .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
       // checkpoint BEFORE the self-join: `stepped` feeds both sides, and
       // without materialization the neighbour-min shuffle would execute
-      // twice per round
+      // twice per round. Each step also carries its own per-row `chg`
+      // flag (labels are monotone non-increasing, so "this step changed
+      // something" is just `new < old`): convergence is then two cheap
+      // partial aggs over the already-cached checkpoints instead of the
+      // old labels-vs-next equi-join + count — one keyed shuffle per
+      // round saved (round-3 verdict asked d10 under 15 s at sf0.1)
       val stepped = labels.join(msgs, col("vec_id") === col("dst"), "left")
         .select(col("vec_id"),
                 least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
-                  .as("lbl"))
+                  .as("lbl"),
+                (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl"))
+                  .cast("long").as("chg"))
         .localCheckpoint(true)
       val next = stepped.as("a")
         .join(stepped.select(col("vec_id").as("p_id"), col("lbl").as("p_lbl")),
               col("a.lbl") === col("p_id"), "left")
         .select(col("a.vec_id").as("vec_id"),
-                coalesce(col("p_lbl"), col("a.lbl")).as("lbl"))
+                coalesce(col("p_lbl"), col("a.lbl")).as("lbl"),
+                (coalesce(col("p_lbl"), col("a.lbl")) < col("a.lbl"))
+                  .cast("long").as("chg"))
         .localCheckpoint(true)
-      val changed = next.withColumnRenamed("lbl", "new_lbl")
-        .join(labels, Seq("vec_id"))
-        .filter(col("new_lbl") =!= col("lbl")).count()
-      labels = next
+      val changed =
+        stepped.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0) +
+        next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+      labels = next.select(col("vec_id"), col("lbl"))
       converged = changed == 0
       rounds += 1
     }

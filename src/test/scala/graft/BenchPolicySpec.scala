@@ -83,11 +83,17 @@ class BenchPolicySpec extends AnyFunSuite {
 
   test("sampling plan depends only on time budget, never on the verdict") {
     // fits: below MaxPairs and predicted wall inside budget
-    assert(nextPairFits(1, elapsedSec = 100, worstPairSec = 100, budgetSec = 500))
-    // budget cut: prediction (elapsed + worst*1.2) crosses the budget
-    assert(!nextPairFits(1, elapsedSec = 390, worstPairSec = 100, budgetSec = 500))
+    assert(nextPairFits(1, elapsedSec = 100, pairWallsSec = Seq(100), budgetSec = 500))
+    // budget cut: prediction (elapsed + midpoint*1.1) crosses the budget
+    assert(!nextPairFits(1, elapsedSec = 395, pairWallsSec = Seq(100), budgetSec = 500))
+    // the predictor is the min/max midpoint, not the worst pair: one
+    // 4x-interference pair must not block a second pair the budget allows
+    // (observed live: pair 1 at 660 s would have predicted 790 s with
+    // 790 s left — midpoint of a later 300 s pair keeps the plan going)
+    assert(nextPairFits(2, elapsedSec = 900,
+      pairWallsSec = Seq(660, 300), budgetSec = 1500)) // predict 528
     // hard cap at MaxPairs
-    assert(!nextPairFits(MaxPairs, elapsedSec = 0, worstPairSec = 1, budgetSec = 1e9))
+    assert(!nextPairFits(MaxPairs, elapsedSec = 0, pairWallsSec = Seq(1), budgetSec = 1e9))
     // no efficiency/verdict parameter exists in the signature at all —
     // the plan CANNOT stop early on a pass or extend on a fail
   }

@@ -310,8 +310,14 @@ object Bench {
         Seq(cores.toString), s"MEMBW $cores ").head
     def attemptLevel(cores: Int): Attempt = {
       val pre = membw(cores)
+      // deeper warm-up at 32 cores: its ~5-9 s runs need 2 discarded
+      // executions to reach steady state, the 15-20 s 8-core runs warm in
+      // one (BenchLevel scaladoc — under-warming the fast level depresses
+      // the ratio)
+      val warms = if (cores >= 32) 2 else 1
       val pipe = best(pinnedJvm(cores, "8g", "graft.BenchLevel",
-        Seq(cores.toString, corpusPath, RunsPerAttempt.toString),
+        Seq(cores.toString, corpusPath, RunsPerAttempt.toString,
+            warms.toString),
         s"LEVEL $cores "))
       val kern = best(pinnedJvm(cores, "4g", "graft.tools.PureLevel",
         Seq(cores.toString, nDocs.toString, KernelRunsPerAttempt.toString),

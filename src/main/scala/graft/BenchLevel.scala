@@ -15,6 +15,7 @@ object BenchLevel {
     val cores = args(0).toInt
     val corpusPath = args(1)
     val runs = args(2).toInt
+    val warms = if (args.length > 3) args(3).toInt else 2
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-level-$cores")
@@ -37,10 +38,14 @@ object BenchLevel {
       out.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    // warm-up x1 (JIT), discarded: with the round-4 paired protocol the
-    // robustness budget buys more measurement WINDOWS, not more runs per
-    // window — cross-window min pooling replaces the second warm-up
-    once()
+    // warm-ups (JIT/codegen), discarded. The warm-up COUNT is a caller
+    // dial because it must scale with how short a run is: a 32-core run
+    // finishes in ~5-9 s, so its first timed execution still pays JIT and
+    // plan/codegen unless at least two prior runs warmed the JVM —
+    // measured live as a ~70% overhang at 32 cores vs ~0% at 8 cores
+    // (whose 15-20 s runs warm fully in one pass). Under-warming the fast
+    // level systematically DEPRESSES the 8→32 efficiency ratio.
+    (1 to warms).foreach(_ => once())
     val times = (1 to runs).map(_ => once())
     spark.stop()
     println(s"LEVEL $cores ${times.mkString(" ")}")

@@ -102,6 +102,16 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(GateTarget == 0.8)
   }
 
+  test("exemplar pair = most balanced passer, not the noisiest ratio") {
+    // live case: a 58 s interference hit on one 8-core half produced
+    // pipe 1.397 / kernel 0.577 — technically a passer, but the summary
+    // fields should showcase the window whose two probes AGREE
+    val noisy = pair(1.397, 0.577)
+    val balanced = pair(0.929, 0.852)
+    val pick = Bench.exemplarPair(Seq(noisy, balanced, pair(0.5, 0.5)))
+    assert(math.abs(pick.pipeEff - 0.929) < 1e-9)
+  }
+
   test("markTruncated flips exactly the truncated field (idempotent)") {
     val j = """{"value":1.0,"truncated":false,"scaling":{"gate_passed":true}}"""
     val t = Bench.markTruncated(j)

@@ -476,13 +476,15 @@ object SparkEntry {
   }
 
   /** DuckDB oracles (same parquet tables registered by table name). Omitted
-    * only for the genuinely non-SQL-expressible ops (the OCR pipeline's
-    * x-queries; e2/e3's approximate-by-design ANN ranking) — the driver
-    * records a weaker rows-only check there, and ScalaTest oracles cover
-    * them instead. Every DEDUP pair-miner is oracled, via two routes:
-    * d2/d7/d9/d10 by oracling the exact set the blocking approximates;
-    * d6/d8 by re-implementing the hash kernel itself in SQL (FNV-1a /
-    * SplitMix64 in HUGEINT mod-2^64 arithmetic). */
+    * only for the genuinely non-SQL-expressible OCR pipeline x-queries
+    * (whose invariants are carried by the self-verifying mismatch columns
+    * and summarized in the oracled x9 row) — the driver records a weaker
+    * rows-only check there, and ScalaTest oracles cover them instead.
+    * Every dedup pair-miner AND both approximate ANN operators are
+    * oracled, via two routes: d2/d7/d9/d10 by oracling the exact set the
+    * blocking approximates; d6/d8/e2/e3 by re-implementing the whole
+    * operator (hash kernels in HUGEINT mod-2^64 arithmetic, float dots in
+    * JVM evaluation order) in SQL. */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" ->
       """WITH e AS (
@@ -1014,6 +1016,121 @@ object SparkEntry {
            FROM cand c
            JOIN qe q ON q.vec_id = c.query_id
            JOIN qe n ON n.vec_id = c.neighbor_id),
+         r AS (
+           SELECT query_id, neighbor_id,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id ASC) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3
+         ORDER BY query_id, rank""",
+    // e3's oracle re-implements the WHOLE IVF operator in SQL (the
+    // d6/d8/e2 route): the train-sample selector — Spark's xxhash64 over
+    // the BIGINT vec_id, seed 42 — is reproduced bit-exactly in HUGEINT
+    // mod-2^64 (XXH64 single-lane path: k1 = rotl31(v*P2)*P1;
+    // h = rotl27(seed_h ^ k1)*P1 + P4; avalanche — rotl as
+    // (x*2^r + x>>(64-r)) mod 2^64, multiplies split into 32-bit halves),
+    // then the same seeded-init centroids, one floor-mean k-means
+    // refinement over the sample, argmax-cosine assignment (ties -> lower
+    // cid), top-nprobe probing and exact re-rank. All ranking keys are
+    // integer dots / sqrt(integer) — deterministic doubles cross-engine;
+    // the floor-mean is FLOOR(SUM/COUNT) on exact integer sums. A green
+    // row proves the trained quantizer and the whole approximate search
+    // are bit-identical in a foreign engine.
+    "e3_ann_ivf" ->
+      """WITH
+         qe AS (
+           SELECT vec_id,
+                  list_transform(embedding,
+                    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         xx0 AS (SELECT vec_id, CAST(vec_id AS HUGEINT) AS v FROM embeddings),
+         xxk1 AS (SELECT vec_id,
+                    (((v * (14029467366897019727 // 4294967296)) % 4294967296)
+                       * 4294967296 + v * (14029467366897019727 % 4294967296))
+                      % 18446744073709551616::HUGEINT AS k FROM xx0),
+         xxk2 AS (SELECT vec_id,
+                    ((k * 2147483648) % 18446744073709551616::HUGEINT
+                     + k // 8589934592) % 18446744073709551616::HUGEINT AS k
+                  FROM xxk1),
+         xxk3 AS (SELECT vec_id,
+                    (((k * (11400714785074694791 // 4294967296)) % 4294967296)
+                       * 4294967296 + k * (11400714785074694791 % 4294967296))
+                      % 18446744073709551616::HUGEINT AS k FROM xxk2),
+         xxh0 AS (SELECT vec_id,
+                    xor(CAST(2870177450012600311 AS HUGEINT), k) AS h FROM xxk3),
+         xxh1 AS (SELECT vec_id,
+                    ((h * 134217728) % 18446744073709551616::HUGEINT
+                     + h // 137438953472) % 18446744073709551616::HUGEINT AS h
+                  FROM xxh0),
+         xxh2 AS (SELECT vec_id,
+                    ((((h * (11400714785074694791 // 4294967296)) % 4294967296)
+                        * 4294967296 + h * (11400714785074694791 % 4294967296))
+                       + 9650029242287828579)
+                      % 18446744073709551616::HUGEINT AS h FROM xxh1),
+         xxf1 AS (SELECT vec_id, xor(h, h // 8589934592) AS h FROM xxh2),
+         xxf2 AS (SELECT vec_id,
+                    (((h * (14029467366897019727 // 4294967296)) % 4294967296)
+                       * 4294967296 + h * (14029467366897019727 % 4294967296))
+                      % 18446744073709551616::HUGEINT AS h FROM xxf1),
+         xxf3 AS (SELECT vec_id, xor(h, h // 536870912) AS h FROM xxf2),
+         xxf4 AS (SELECT vec_id,
+                    (((h * (1609587929392839161 // 4294967296)) % 4294967296)
+                       * 4294967296 + h * (1609587929392839161 % 4294967296))
+                      % 18446744073709551616::HUGEINT AS h FROM xxf3),
+         xxh AS (SELECT vec_id, xor(h, h // 4294967296) AS h FROM xxf4),
+         consts AS (SELECT GREATEST(1, (SELECT COUNT(*) FROM qe) // 8) AS step),
+         init AS (
+           SELECT CAST(vec_id // step AS INT) AS cid, qv AS cv
+           FROM qe, consts WHERE vec_id % step = 0 AND vec_id // step < 8),
+         train AS (SELECT q.vec_id, q.qv FROM qe q JOIN xxh USING (vec_id)
+                   WHERE h % 4 = 0),
+         tassign AS (
+           SELECT vec_id, qv, cid FROM (
+             SELECT t.vec_id, t.qv, i.cid,
+                    ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+                      CAST(list_sum(list_transform(list_zip(t.qv, i.cv),
+                        p -> p[1] * p[2])) AS DOUBLE) /
+                      sqrt(CAST(list_sum(list_transform(i.cv, x -> x * x)) AS DOUBLE))
+                      DESC, i.cid ASC) AS rn
+             FROM train t CROSS JOIN init i) WHERE rn = 1),
+         mexp AS (
+           SELECT cid, generate_subscripts(qv, 1) AS pos, unnest(qv) AS v
+           FROM tassign),
+         means AS (
+           SELECT cid, pos,
+                  CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+           FROM mexp GROUP BY cid, pos),
+         marr AS (SELECT cid, list(m ORDER BY pos) AS cv_trained
+                  FROM means GROUP BY cid),
+         refined AS (
+           SELECT i.cid, COALESCE(marr.cv_trained, i.cv) AS cv
+           FROM init i LEFT JOIN marr USING (cid)),
+         lists AS (
+           SELECT vec_id, qv, cid FROM (
+             SELECT q.vec_id, q.qv, r.cid,
+                    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                      CAST(list_sum(list_transform(list_zip(q.qv, r.cv),
+                        p -> p[1] * p[2])) AS DOUBLE) /
+                      sqrt(CAST(list_sum(list_transform(r.cv, x -> x * x)) AS DOUBLE))
+                      DESC, r.cid ASC) AS rn
+             FROM qe q CROSS JOIN refined r) WHERE rn = 1),
+         probes AS (
+           SELECT vec_id AS query_id, qv AS qa, cid FROM (
+             SELECT q.vec_id, q.qv, r.cid,
+                    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                      CAST(list_sum(list_transform(list_zip(q.qv, r.cv),
+                        p -> p[1] * p[2])) AS DOUBLE) /
+                      sqrt(CAST(list_sum(list_transform(r.cv, x -> x * x)) AS DOUBLE))
+                      DESC, r.cid ASC) AS rn
+             FROM qe q CROSS JOIN refined r WHERE q.vec_id < 10) WHERE rn <= 3),
+         scored AS (
+           SELECT DISTINCT p.query_id, l.vec_id AS neighbor_id,
+                  CAST(list_sum(list_transform(list_zip(p.qa, l.qv),
+                    z -> z[1] * z[2])) AS DOUBLE) /
+                  sqrt(CAST(list_sum(list_transform(l.qv, x -> x * x)) AS DOUBLE))
+                    AS score
+           FROM lists l JOIN probes p USING (cid)
+           WHERE l.vec_id <> p.query_id),
          r AS (
            SELECT query_id, neighbor_id,
                   ROW_NUMBER() OVER (PARTITION BY query_id

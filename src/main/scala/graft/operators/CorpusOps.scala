@@ -440,8 +440,13 @@ object CorpusOps {
     * integer floor-mean update is a posexplode/groupBy — all distributed,
     * no driver-side math beyond collecting K×dim longs. Search probes the
     * query's top-`nprobe` centroid lists and exact-re-ranks inside them
-    * only, so the corpus side never all-pairs. Rows-only (centroid ids are
-    * engine-internal); recall vs e1 gated in OperatorSpec.
+    * only, so the corpus side never all-pairs. DuckDB-oracled the
+    * d6/d8/e2 way: the WHOLE operator — including the xxhash64
+    * train-sample selector, reproduced bit-exactly in HUGEINT SQL — is
+    * re-implemented in the oracle (SparkEntry.oracleSql "e3_ann_ivf"),
+    * so a green row proves the trained quantizer and search are
+    * bit-identical cross-engine. Recall vs e1 additionally gated in
+    * OperatorSpec.
     *
     * Production dials: `k` (nlist) sets cell granularity — each probe
     * scans ~N/k of the corpus, so recall-neutral speedup comes from

@@ -119,8 +119,12 @@ object SparkEntry {
   private def selfCheckSummary(spark: SparkSession): DataFrame = {
     val x1 = extractSpans(spark, 24)
       .agg(count(when(col("mismatch_count") =!= 0L, 1)).as("x1_mismatch"))
+    // fixture_found is a PAGE-level flag duplicated onto every block row —
+    // count failing PAGES, not rows, so a red x3 reads as "N pages"
     val x3 = layoutSegments(spark, 48)
-      .agg(count(when(col("fixture_found") === 0, 1)).as("x3_missing"))
+      .filter(col("fixture_found") === 0)
+      .agg(count_distinct(struct(col("doc_id"), col("page")))
+        .as("x3_missing"))
     val x5 = tableSelective(spark, 48)
       .agg(coalesce(sum(col("golden_mismatch")), lit(0)).cast("long")
         .as("x5_mismatch"))

@@ -165,9 +165,14 @@ object CorpusOps {
     // sitting in k candidate buckets never re-shingles (round-3 verdict:
     // per-pair re-tokenization + shipping raw text twice was the dominant
     // cost at scale). Candidates join the (smaller, binary) hash arrays.
+    // persisted: the projection feeds three plan branches (band explode +
+    // both sides of the candidate verify join) whose renamed columns defeat
+    // exchange reuse — without the persist each branch would re-tokenize
+    // the whole corpus and "one pass" would only be true per-branch
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), expr("shingles_sorted(text, 3)").as("sh"))
       .withColumn("sig", expr("minhash_from_shingles(sh, 24)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = docs.select(col("doc_id"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),

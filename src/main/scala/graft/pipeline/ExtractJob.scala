@@ -137,6 +137,12 @@ object ExtractJob {
     val (inputDf, snapId) = SnapshotTable.read(spark, inputPath)
     val input = inputDf.as[Doc]
 
+    // crash-window reconcile BEFORE reading the done table: a prior run
+    // that died between committing its output dir and recording it in the
+    // checkpoint would otherwise be re-extracted into a second run dir,
+    // duplicating every doc in readOutput
+    reconcile(spark, outPath, ckptDir)
+
     val done: DataFrame = Checkpoint.doneDocs(spark, ckptDir, snapId)
     // optional selective work-list (F2/J5: the reference's CSV-driven
     // reprocessing, joradp_correct_add_missing_bboxes.py:179-192) — a
@@ -155,11 +161,52 @@ object ExtractJob {
     // docsThisRun comes out of the lineage aggregation — no extra count
     // job over the run's files (they were just written; every scan of
     // them at 100 TB is a real job)
-    val thisRun = Checkpoint.append(spark, ckptDir, snapId, written)
-    // summary total from checkpoint METADATA (the lineage appends already
-    // counted these docs) — never a scan of the done table, which at
-    // 100 TB is a real job run purely for a log line
-    RunSummary(snapId, Checkpoint.doneTotal(ckptDir, snapId), thisRun)
+    val thisRun = Checkpoint.append(spark, ckptDir, snapId, runId, written)
+    // summary total from the per-partition LINEAGE table (tiny, bounded)
+    // — never a scan of the one-row-per-doc done table, which at 100 TB
+    // is a real job run purely for a log line
+    RunSummary(snapId, Checkpoint.doneTotal(spark, ckptDir, snapId), thisRun)
+  }
+
+  /** Repair the output↔checkpoint gap left by a crashed prior run. Two
+    * cases, keyed off the run dir's Spark `_SUCCESS` marker and the
+    * checkpoint's per-run record:
+    *
+    *   - output dir WITHOUT `_SUCCESS`: the write job never committed;
+    *     its docs were never checkpointed, so the dir (plus any partial
+    *     checkpoint subdirs from the same run) is deleted and the docs
+    *     re-extract normally;
+    *   - output dir WITH `_SUCCESS` but not recorded ([[Checkpoint
+    *     .isRecorded]]): the run died between output commit and
+    *     checkpoint append — re-run the (idempotent, per-run Overwrite)
+    *     append from the committed files, so the resume anti-join skips
+    *     those docs instead of duplicating them in a new run dir.
+    *
+    * The runId encodes its snapshot (`<snapId>_<nonce>`), so recovery
+    * attributes re-appended rows to the snapshot that produced them.
+    * Cost: one directory listing per run() plus, only on an actual
+    * crashed run, a column-pruned scan of that run's files. */
+  private def reconcile(spark: SparkSession, outPath: String,
+                        ckptDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(outPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val runDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("run="))
+    for (dir <- runDirs) {
+      val runId = dir.getPath.getName.stripPrefix("run=")
+      if (!fs.exists(new Path(dir.getPath, "_SUCCESS"))) {
+        fs.delete(dir.getPath, true)
+        fs.delete(new Path(s"$ckptDir/done/run=$runId"), true)
+        fs.delete(new Path(s"$ckptDir/lineage/run=$runId"), true)
+      } else if (!Checkpoint.isRecorded(spark, ckptDir, runId)) {
+        val runSnap = runId.substring(0, math.max(0, runId.lastIndexOf('_')))
+        require(runSnap.nonEmpty, s"un-parseable run id '$runId' in $outPath")
+        Checkpoint.append(spark, ckptDir, runSnap, runId,
+          spark.read.parquet(dir.getPath.toString))
+      }
+    }
   }
 
   /** Public view of the output table: just (doc_id, spans). */

@@ -81,7 +81,8 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // done-table count() per run — a real job at 100 TB. Pin the fix:
     // across a whole resume run(), exactly ONE executed query scans the
     // done dir (the anti-join inside the output write), and none after it
-    // (the summary total comes from the checkpoint metadata file).
+    // (the summary total is summed from the tiny per-partition lineage
+    // table, never the one-row-per-doc done table).
     val in = tmp("in-noscan"); val out = tmp("out-noscan"); val ck = tmp("ck-noscan")
     val (inputs, _) = CorpusGen.corpus(4)
     SnapshotTable.write(inputs.toDS.toDF, in, buckets = 2)
@@ -140,7 +141,7 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val partial = ExtractJob.extract(
       spark, inputs.filter(d => half(d.doc_id)).toDS, ExtractJob.Config(buckets = 2))
     partial.write.parquet(s"$out/run=${snapId}_prior")
-    Checkpoint.append(spark, ck, snapId,
+    Checkpoint.append(spark, ck, snapId, s"${snapId}_prior",
                       spark.read.parquet(s"$out/run=${snapId}_prior"))
     // the resumed run must process exactly the other 5 docs
     val r = ExtractJob.run(spark, in, out, ck)

@@ -47,6 +47,14 @@ import org.apache.spark.sql.SparkSession
   *        probes disagreeing by > [[TurbulenceFrac]] mark the attempt
   *        turbulent — recorded per pair so the artifact shows which
   *        windows were shifting while timed.
+  *      - pairs are DEFERRED while the host is visibly degraded: a
+  *        cheap pre-pair 8-core membw probe below [[DegradedBw8Gbps]]
+  *        sleeps [[DeferSleepSec]] and re-probes, bounded by
+  *        [[MaxTotalDeferSec]] and the budget fit. Deferral consults
+  *        only environment probes — never measured efficiencies — so it
+  *        adds no optional-stopping bias; it exists because every
+  *        recorded gate failure was a degradation epoch the probes see
+  *        directly ([[shouldDefer]]).
   *
   *     The artifact carries both views (`gate_passed_pooled`,
   *     `gate_passed_pair`, per-pair efficiency arrays) so the verdict is
@@ -237,9 +245,56 @@ object Bench {
     * (no optional stopping). */
   def nextPairFits(done: Int, elapsedSec: Double, pairWallsSec: Seq[Double],
                    budgetSec: Double): Boolean = {
-    val predicted = (pairWallsSec.min + pairWallsSec.max) / 2.0 * 1.1
+    val predicted = predictedPairSec(pairWallsSec)
     done < MaxPairs && elapsedSec + predicted < budgetSec
   }
+
+  private def predictedPairSec(pairWallsSec: Seq[Double]): Double =
+    if (pairWallsSec.isEmpty) FirstPairWallGuessSec
+    else (pairWallsSec.min + pairWallsSec.max) / 2.0 * 1.1
+
+  /** An 8-core membw probe below this reads as WHOLE-HOST DEGRADATION —
+    * the 40-51 GB/s epochs of the round-4 tally, vs the 55-60 quiet
+    * baseline (BASELINE.md). Probe readings sit clearly in one regime or
+    * the other; 52 splits them. */
+  val DegradedBw8Gbps = 52.0
+  /** One deferral step: sleep this long, then re-probe. */
+  val DeferSleepSec = 60
+  /** Global cap on time spent deferring — sampling must still happen
+    * even if the whole run sits inside a degraded epoch. (Invocation 7
+    * exhausted the original 300 s cap with the epoch still running; the
+    * budget-fit floor below is what makes a bigger cap safe.) */
+  val MaxTotalDeferSec = 600
+  /** Conservative pair-wall predictor before any pair has been timed
+    * (quiet pairs run ~200-300 s; a degraded one hit 821 s live). */
+  val FirstPairWallGuessSec = 400.0
+  /** Worst observed DEGRADED pair wall (821 s live, rounded up). Deferral
+    * stops while the host is still degraded only via cap or budget — and
+    * the pair it then measures will itself be degraded, so its budget fit
+    * must assume THIS cost, not the quiet predictor. Flooring the fit at
+    * this keeps a long defer from ever pushing the mandatory pair past
+    * the retry budget into a truncated artifact. */
+  val DegradedPairWallGuessSec = 850.0
+
+  /** Degradation-aware deferral: true iff the next pair should WAIT
+    * rather than measure now. Every round-4 gate failure was a sustained
+    * whole-host degradation epoch where even the kernel disjunct read
+    * true-negative (the box genuinely was not scaling), and a degraded
+    * pair costs up to 3x the wall of a quiet one — so a bounded sleep
+    * that can catch an epoch edge (exactly how invocation 6 passed, with
+    * its last pair in a recovering window) saves budget in expectation.
+    * Depends ONLY on the environment probe, elapsed time and the global
+    * defer budget — never on measured efficiencies, so the fixed
+    * sampling plan stays free of optional stopping: the VERDICT cannot
+    * influence how many pairs are measured, only the (verdict-blind)
+    * environment can influence when. */
+  def shouldDefer(probeGbps: Double, deferSecUsed: Int, elapsedSec: Double,
+                  pairWallsSec: Seq[Double], budgetSec: Double): Boolean =
+    probeGbps < DegradedBw8Gbps &&
+    deferSecUsed + DeferSleepSec <= MaxTotalDeferSec &&
+    elapsedSec + DeferSleepSec +
+      math.max(predictedPairSec(pairWallsSec), DegradedPairWallGuessSec) <
+      budgetSec
 
   /** Last emitted artifact line — the watchdog re-emits it with
     * `truncated` flipped true before halting. */
@@ -364,9 +419,26 @@ object Bench {
     // Phase 2 (queries) needs ~60-240 s; a fixed 300 s reserve leaves the
     // rest of the deadline for measurement.
     val retryDeadlineSec = (deadlineSec - 300.0).max(deadlineSec * 0.4)
+    var deferSecUsed = 0
+    def awaitQuietWindow(): Unit = {
+      var probe = membw(8)
+      while (shouldDefer(probe, deferSecUsed, elapsed, pairWalls,
+                         retryDeadlineSec)) {
+        System.err.println(
+          f"[bench] host degraded (8-core membw $probe%.1f GB/s < " +
+          f"$DegradedBw8Gbps%.0f): deferring ${DeferSleepSec}s " +
+          f"(${deferSecUsed}s/${MaxTotalDeferSec}s used) | t=$elapsed%.0fs")
+        Thread.sleep(DeferSleepSec * 1000L)
+        deferSecUsed += DeferSleepSec
+        probe = membw(8)
+      }
+    }
+    awaitQuietWindow()
     var pairs = Vector(measurePair(0))
-    while (nextPairFits(pairs.size, elapsed, pairWalls, retryDeadlineSec))
+    while (nextPairFits(pairs.size, elapsed, pairWalls, retryDeadlineSec)) {
+      awaitQuietWindow()
       pairs :+= measurePair(pairs.size)
+    }
 
     // ---- gate: evaluated once over the complete sample
     val gate = evalGate(pairs)
@@ -396,7 +468,7 @@ object Bench {
       val qs = queryTimes.map { case (k, v) => s""""$k":${f4(v)}""" }
         .mkString("{", ",", "}")
       val totalQuerySec = queryTimes.map(_._2).sum
-      s"""{"metric":"end-to-end extraction throughput (docs/sec at local[32]; scaling efficiency local[8]->local[32] attached)","value":${f4(docs32)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f4(totalQuerySec)},"truncated":false,"scaling":{"corpus_docs":$nDocs,"corpus_spans":$totalSpans,"local8_docs_per_sec":${f4(docs8)},"local8_spans_per_sec":${f4(spans8)},"local32_docs_per_sec":${f4(docs32)},"local32_spans_per_sec":${f4(spans32)},"efficiency_n_to_4n":${f4(gate.pipeEff)},"kernel_local8_docs_per_sec":${f4(k8)},"kernel_local32_docs_per_sec":${f4(k32)},"kernel_efficiency_n_to_4n":${f4(gate.kernEff)},"membw_local8_gbps":${f4(bw8)},"membw_local32_gbps":${f4(bw32)},"membw_efficiency_n_to_4n":${f4(gate.bwEff)},"pipeline_over_membw":${f4(gate.pOverB)},"pairs":${pairs.size},"pair_pipe_effs":${effArr(_.pipeEff)},"pair_kernel_effs":${effArr(_.kernEff)},"pair_pipe_over_membw":${effArr(_.pOverB)},"pair_turbulent":${pairs.map(_.turbulent).mkString("[", ",", "]")},"best_pair_pipeline_eff":${f4(bestPair.pipeEff)},"best_pair_kernel_eff":${f4(bestPair.kernEff)},"best_pair_pipe_over_membw":${f4(bestPair.pOverB)},"gate_passed_pooled":${gate.pooledPassed},"gate_passed_pair":${gate.pairPassed},"gate_passed":${gate.passed},"gate_rule":"pooled-min-wall OR any same-window pair: pipeline>=0.8 OR (kernel>=0.8 AND pipeline_over_membw>=1.0); fixed sampling (no optional stopping)","attempts_8":${pairs.size},"attempts_32":${pairs.size}}}"""
+      s"""{"metric":"end-to-end extraction throughput (docs/sec at local[32]; scaling efficiency local[8]->local[32] attached)","value":${f4(docs32)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f4(totalQuerySec)},"truncated":false,"scaling":{"corpus_docs":$nDocs,"corpus_spans":$totalSpans,"local8_docs_per_sec":${f4(docs8)},"local8_spans_per_sec":${f4(spans8)},"local32_docs_per_sec":${f4(docs32)},"local32_spans_per_sec":${f4(spans32)},"efficiency_n_to_4n":${f4(gate.pipeEff)},"kernel_local8_docs_per_sec":${f4(k8)},"kernel_local32_docs_per_sec":${f4(k32)},"kernel_efficiency_n_to_4n":${f4(gate.kernEff)},"membw_local8_gbps":${f4(bw8)},"membw_local32_gbps":${f4(bw32)},"membw_efficiency_n_to_4n":${f4(gate.bwEff)},"pipeline_over_membw":${f4(gate.pOverB)},"pairs":${pairs.size},"degraded_defer_sec":$deferSecUsed,"pair_pipe_effs":${effArr(_.pipeEff)},"pair_kernel_effs":${effArr(_.kernEff)},"pair_pipe_over_membw":${effArr(_.pOverB)},"pair_turbulent":${pairs.map(_.turbulent).mkString("[", ",", "]")},"best_pair_pipeline_eff":${f4(bestPair.pipeEff)},"best_pair_kernel_eff":${f4(bestPair.kernEff)},"best_pair_pipe_over_membw":${f4(bestPair.pOverB)},"gate_passed_pooled":${gate.pooledPassed},"gate_passed_pair":${gate.pairPassed},"gate_passed":${gate.passed},"gate_rule":"pooled-min-wall OR any same-window pair: pipeline>=0.8 OR (kernel>=0.8 AND pipeline_over_membw>=1.0); fixed sampling (no optional stopping)","attempts_8":${pairs.size},"attempts_32":${pairs.size}}}"""
     }
 
     // scaling artifact is safe on stdout + sidecars from here on, whatever

@@ -24,6 +24,19 @@ import org.apache.spark.sql.SparkSession
   * a sensible default. */
 object Main {
 
+  /** Write `df` as parquet and return its row count WITHOUT re-scanning
+    * the directory just written: the count rides the write job as an
+    * observed metric (at 100 TB a second scan for a log line is a real
+    * job — round-3 verdict). */
+  private def observedWrite(df: org.apache.spark.sql.DataFrame,
+                            out: String): Long = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(out)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
   private def session(app: String): SparkSession = {
     val b = SparkSession.builder().appName(app)
       .config("spark.sql.session.timeZone", "UTC")
@@ -64,11 +77,11 @@ object Main {
       val (df, snapId) = SnapshotTable.read(spark, in)
       val wl = spark.read.option("header", "true").csv(wlCsv)
       val res = ExtractJob.tableDataSelective(spark, df.as[graft.core.Doc], wl)
-      res.write.mode("overwrite").parquet(out)
-      // warn-and-drop accounting over the WRITTEN output (no recompute)
-      val written = spark.read.parquet(out)
-      ExtractJob.logUnmatched(written, wl, "tables")
-      println(s"TABLES snapshot=$snapId rows=${written.count()}")
+      val nRows = observedWrite(res, out)
+      // warn-and-drop accounting over the WRITTEN output (no recompute of
+      // the kernel; the anti-join scan is the accounting's own cost)
+      ExtractJob.logUnmatched(spark.read.parquet(out), wl, "tables")
+      println(s"TABLES snapshot=$snapId rows=$nRows")
       spark.stop()
 
     case "reocr" :: in :: out :: wlCsv :: Nil =>
@@ -76,27 +89,25 @@ object Main {
       import spark.implicits._
       val (df, snapId) = SnapshotTable.read(spark, in)
       val wl = spark.read.option("header", "true").csv(wlCsv)
-      ExtractJob.reOcrSelective(spark, df.as[graft.core.Doc], wl)
-        .write.mode("overwrite").parquet(out)
-      val written = spark.read.parquet(out)
-      ExtractJob.logUnmatched(written, wl, "reocr")
-      println(s"REOCR snapshot=$snapId rows=${written.count()}")
+      val nRows = observedWrite(
+        ExtractJob.reOcrSelective(spark, df.as[graft.core.Doc], wl), out)
+      ExtractJob.logUnmatched(spark.read.parquet(out), wl, "reocr")
+      println(s"REOCR snapshot=$snapId rows=$nRows")
       spark.stop()
 
     case "regions" :: in :: out :: Nil =>
       val spark = session("graft-regions")
       import spark.implicits._
       val (df, snapId) = SnapshotTable.read(spark, in)
-      graft.pipeline.BandReorder.regions(spark, df.as[graft.core.Doc])
-        .write.mode("overwrite").parquet(out)
-      println(s"REGIONS snapshot=$snapId rows=${spark.read.parquet(out).count()}")
+      val nRows = observedWrite(
+        graft.pipeline.BandReorder.regions(spark, df.as[graft.core.Doc]), out)
+      println(s"REGIONS snapshot=$snapId rows=$nRows")
       spark.stop()
 
     case "reband" :: in :: out :: Nil =>
       val spark = session("graft-reband")
       val res = graft.pipeline.BandReorder.reorder(spark.read.parquet(in))
-      res.write.mode("overwrite").parquet(out)
-      println(s"REBAND rows=${spark.read.parquet(out).count()} dir=$out")
+      println(s"REBAND rows=${observedWrite(res, out)} dir=$out")
       spark.stop()
 
     case "stream" :: in :: out :: ckpt :: Nil =>

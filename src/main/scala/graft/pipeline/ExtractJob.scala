@@ -222,12 +222,17 @@ object ExtractJob {
     * as year-partitioned JSON-lines: partition pruning on year replaces
     * the reference's per-year directory walk. Returns docs exported. */
   def exportJson(spark: SparkSession, outPath: String, jsonDir: String): Long = {
-    import org.apache.spark.sql.functions.{struct, substring, to_json}
+    import org.apache.spark.sql.functions.{count, lit, struct, substring, to_json}
+    // the docs-exported count rides the write job as an observed metric —
+    // never a re-read of the directory just written (at 100 TB that
+    // second scan is a real job run purely for a return value)
+    val obs = new org.apache.spark.sql.Observation()
     val df = spark.read.parquet(outPath)
       .select(substring(col("doc_id"), 2, 4).as("year"),
               to_json(struct(col("doc_id"), col("spans"))).as("value"))
+      .observe(obs, count(lit(1)).as("docs"))
     df.write.mode(SaveMode.Overwrite).partitionBy("year").text(jsonDir)
-    spark.read.text(jsonDir).count()
+    obs.get("docs").asInstanceOf[Long]
   }
 
   /** Selective page re-OCR — the Spark equivalent of

@@ -102,6 +102,33 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(GateTarget == 0.8)
   }
 
+  test("degradation deferral: waits on a degraded probe, bounded, verdict-blind") {
+    import Bench.{shouldDefer, DegradedBw8Gbps, DeferSleepSec, MaxTotalDeferSec}
+    // degraded probe with budget left: defer
+    assert(shouldDefer(45.0, deferSecUsed = 0, elapsedSec = 100,
+      pairWallsSec = Seq(250), budgetSec = 1500))
+    // quiet probe: measure immediately (boundary reading is quiet)
+    assert(!shouldDefer(DegradedBw8Gbps, 0, 100, Seq(250), 1500))
+    assert(!shouldDefer(58.0, 0, 100, Seq(250), 1500))
+    // global defer budget exhausted: measure even if still degraded
+    assert(!shouldDefer(45.0, MaxTotalDeferSec, 100, Seq(250), 1500))
+    assert(shouldDefer(45.0, MaxTotalDeferSec - DeferSleepSec, 100, Seq(250), 1500))
+    // a sleep that would push the mandatory pair past the budget: measure
+    // now. The fit is floored at the DEGRADED pair wall (850), not the
+    // quiet predictor (midpoint(250)*1.1 = 275): when deferral runs out
+    // the host is BY CONSTRUCTION still degraded, so the pair it then
+    // measures costs the degraded wall — a long defer must never turn
+    // into a truncated artifact
+    assert(!shouldDefer(45.0, 0, 1200, Seq(250), 1500))
+    assert(!shouldDefer(45.0, 0, 600, Seq(250), 1500)) // 600+60+850 >= 1500
+    assert(shouldDefer(45.0, 0, 580, Seq(250), 1500))  // 580+60+850 < 1500
+    // first pair (no walls observed): conservative guess still bounds it
+    assert(shouldDefer(45.0, 0, 0, Seq.empty, 1500))
+    assert(!shouldDefer(45.0, 0, 1100, Seq.empty, 1500)) // 1100+60+850 >= 1500
+    // no efficiency/verdict parameter exists in the signature at all —
+    // deferral can shift WHEN windows are sampled, never HOW MANY
+  }
+
   test("exemplar pair = most balanced passer, not the noisiest ratio") {
     // live case: a 58 s interference hit on one 8-core half produced
     // pipe 1.397 / kernel 0.577 — technically a passer, but the summary

@@ -105,7 +105,10 @@ object SparkEntry {
     * recognized table grids differing from the planted cell values, and
     * x6_table_fp / x6_table_fn = the eval harness's TABLE-level
     * false-positive/-negative totals vs planted ground truth (100%
-    * table detection P/R on the synthetic corpus). Cell-level FP/FN are
+    * table detection P/R on the synthetic corpus), and x4_mismatch /
+    * x8_mismatch = media rows whose decoded dims + Otsu-exact ink count
+    * disagree with the generator's metadata-derived goldens (decode seam
+    * and codec-roundtrip-plus-downsample respectively). Cell-level FP/FN are
     * deliberately NOT asserted zero: on short tables the ported
     * adaptive-close kernel (k = |minDist-10|, reference :597-616) can
     * leave the 3px join gap between drawn h-lines (5px bands) and
@@ -131,7 +134,15 @@ object SparkEntry {
     val x6 = tableEval(spark, 96)
       .select(col("table_fp").as("x6_table_fp"),
               col("table_fn").as("x6_table_fn"))
-    x1.crossJoin(x3).crossJoin(x5).crossJoin(x6)
+    // x4/x8 media self-checks (decode seam + codec roundtrip vs
+    // generator-owned dims/ink goldens) pinned the same way
+    val x4 = mediaStats(spark, 48)
+      .agg(coalesce(sum(col("golden_mismatch")), lit(0)).cast("long")
+        .as("x4_mismatch"))
+    val x8 = mediaBinary(spark, 32)
+      .agg(coalesce(sum(col("golden_mismatch")), lit(0)).cast("long")
+        .as("x8_mismatch"))
+    x1.crossJoin(x3).crossJoin(x5).crossJoin(x6).crossJoin(x4).crossJoin(x8)
   }
 
   /** Multimodal feature extraction as a standalone distributed query:
@@ -145,7 +156,7 @@ object SparkEntry {
     import spark.implicits._
     val media = CorpusGen.inputDS(spark, nDocs).flatMap(d =>
       d.spans.filter(_.kind == "media").map(sp => (d.doc_id, sp.offset, sp.media_ref)))
-    media.repartition(8).mapPartitions { it =>
+    val stats = media.repartition(8).mapPartitions { it =>
       it.map { case (docId, off, ref) =>
         val g = graft.synth.PageRenderer.decode(ref)
         val t = graft.img.Otsu.threshold(g)
@@ -160,6 +171,32 @@ object SparkEntry {
         (docId, off, g.w, g.h, t, ink * 1000000L / npx, sum / npx)
       }
     }.toDF("doc_id", "offset", "w", "h", "otsu_t", "ink_e6", "mean_px")
+    // SELF-VERIFYING like x1/x3/x5: the generator owns per-page goldens
+    // (stored dims from rotation metadata, exact ink-pixel count from the
+    // drawing mask + shear survival — PageRenderer.expectedInkPx2x
+    // scaladoc has the exactness argument), computed WITHOUT decoding.
+    // Otsu's argmax plateau starts AT the largest ink value present
+    // (moving the threshold below it reassigns those pixels and lowers
+    // the between-class variance; moving it up through the empty
+    // [50,214] gap changes nothing), so counting v <= t is exact
+    // whenever the modes separate — the guard asserts separation, the
+    // ink equality carries the exactness. full_outer: a media span the
+    // operator dropped, or a
+    // spurious row it invented, surfaces as golden_mismatch=1, never
+    // vanishes from its own check (x5 lesson).
+    val goldens = media.map { case (docId, off, ref) =>
+      val page = ref.substring(ref.lastIndexOf('/') + 1).toInt
+      val (ew, eh) = graft.synth.PageRenderer.expectedStoredDims(docId, page)
+      val inkPx = graft.synth.PageRenderer.expectedInkPx2x(docId, page)
+      (docId, off, ew, eh, inkPx * 1000000L / (ew.toLong * eh))
+    }.toDF("doc_id", "offset", "exp_w", "exp_h", "exp_ink_e6")
+    stats.join(goldens, Seq("doc_id", "offset"), "full_outer")
+      .withColumn("golden_mismatch",
+        when(col("w") === col("exp_w") && col("h") === col("exp_h") &&
+             col("ink_e6") === col("exp_ink_e6") &&
+             col("otsu_t") > 17 && col("otsu_t") < 215, 0L).otherwise(1L))
+      .select("doc_id", "offset", "w", "h", "otsu_t", "ink_e6", "mean_px",
+              "golden_mismatch")
       .orderBy("doc_id", "offset")
   }
 
@@ -190,7 +227,7 @@ object SparkEntry {
     }.toDF("doc_id", "page", "content", "w", "h", "fmt")
       .select(col("doc_id"), col("page"), col("content"),
               struct(col("w"), col("h"), col("fmt")).as("meta"))
-    binary
+    val sampled = binary
       .filter(col("page") % 3 === 0) // frame sampling on metadata only
       .select(col("doc_id"), col("page"), col("content"),
               col("meta.fmt").as("fmt"))
@@ -209,6 +246,29 @@ object SparkEntry {
            ink * 1000000L / logical.px.length)
         }
       }.toDF("doc_id", "page", "fmt", "w", "h", "otsu_t", "ink_e6")
+    // SELF-VERIFYING: same generator-owned goldens as x4, carried through
+    // the full codec roundtrip + box-mean downsample. Block purity (2x2
+    // stored blocks are all-ink or all-background, and shear/rotation
+    // preserve whole blocks — PageRenderer.expectedInkPx2x scaladoc)
+    // makes the logical ink count exactly the stored count / 4, so a
+    // codec or downsample regression flips golden_mismatch. Goldens come
+    // from span METADATA (the media_ref), never from decoded pixels;
+    // full_outer so dropped/spurious pages surface as mismatch rows.
+    val goldens = media.filter(_._2 % 3 == 0).map { case (docId, pn, ref) =>
+      val page = ref.substring(ref.lastIndexOf('/') + 1).toInt
+      val (ew, eh) = graft.synth.PageRenderer.expectedStoredDims(docId, page)
+      val (lw, lh) = (ew / graft.kernel.Recognize.PageScale,
+                      eh / graft.kernel.Recognize.PageScale)
+      val inkLogical = graft.synth.PageRenderer.expectedInkPx2x(docId, page) / 4
+      (docId, pn, lw, lh, inkLogical * 1000000L / (lw.toLong * lh))
+    }.toDF("doc_id", "page", "exp_w", "exp_h", "exp_ink_e6")
+    sampled.join(goldens, Seq("doc_id", "page"), "full_outer")
+      .withColumn("golden_mismatch",
+        when(col("w") === col("exp_w") && col("h") === col("exp_h") &&
+             col("ink_e6") === col("exp_ink_e6") &&
+             col("otsu_t") > 17 && col("otsu_t") < 215, 0L).otherwise(1L))
+      .select("doc_id", "page", "fmt", "w", "h", "otsu_t", "ink_e6",
+              "golden_mismatch")
       .orderBy("doc_id", "page")
   }
 
@@ -1164,6 +1224,8 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS x3_missing,
                 CAST(0 AS BIGINT) AS x5_mismatch,
                 CAST(0 AS BIGINT) AS x6_table_fp,
-                CAST(0 AS BIGINT) AS x6_table_fn""",
+                CAST(0 AS BIGINT) AS x6_table_fn,
+                CAST(0 AS BIGINT) AS x4_mismatch,
+                CAST(0 AS BIGINT) AS x8_mismatch""",
   )
 }

@@ -371,11 +371,14 @@ object PageRenderer {
     }
   }
 
-  /** Render the stored (possibly rotated) 2x noisy grayscale page.
-    * Uses pooled per-thread planes: the result is valid until the next
-    * render() on the same thread (real decoders reuse frame buffers the
-    * same way). */
-  def render(docId: String, page: Int): Gray = {
+  /** Logical-scale boolean ink mask of a page — the drawing layer of
+    * [[render]], factored out so generator-owned golden checks (x4/x8
+    * media self-verification) can count expected ink pixels from the SAME
+    * mask the renderer rasterizes, without touching the rendered bitmap.
+    * Pooled per-thread plane: valid until the next inkMask()/render() on
+    * this thread (render's own pixel planes use different pool keys, so
+    * calling this after decode() does not clobber a still-held Gray). */
+  def inkMask(docId: String, page: Int): Array[Boolean] = {
     val crop: Crop = CropConfig.lookup(docId)
     val mask = graft.img.PlanePool.bools("render.mask", LogicalW * LogicalH)
     java.util.Arrays.fill(mask, false)
@@ -475,6 +478,15 @@ object PageRenderer {
       mask(sy * LogicalW + sx) = true
       s += 1
     }
+    mask
+  }
+
+  /** Render the stored (possibly rotated) 2x noisy grayscale page.
+    * Uses pooled per-thread planes: the result is valid until the next
+    * render() on the same thread (real decoders reuse frame buffers the
+    * same way). */
+  def render(docId: String, page: Int): Gray = {
+    val mask = inkMask(docId, page)
     // upscale 2x with seeded noise: ink in [18,49], background in [215,246]
     // (one PRNG draw yields 8 noise bytes — the render loop is the hot path)
     val noise = new Rng(pageSeed(docId, page) ^ 0x0F0F0F0FL)
@@ -522,6 +534,52 @@ object PageRenderer {
       }
     base.rotateCCW(storedRotation(docId, page),
       graft.img.PlanePool.bytes("render.rot", w2 * h2))
+  }
+
+  /** Generator-owned golden for the media self-checks (x4/x8): the STORED
+    * frame dimensions of a page, derived from rotation METADATA only —
+    * never from the rendered bitmap the operator under test decodes. */
+  def expectedStoredDims(docId: String, page: Int): (Int, Int) = {
+    val (w2, h2) = (LogicalW * Scale, LogicalH * Scale)
+    if (storedRotation(docId, page) % 180 == 0) (w2, h2) else (h2, w2)
+  }
+
+  /** Generator-owned golden for the media self-checks (x4/x8): the EXACT
+    * ink-pixel count of the stored 2x page, from the drawing mask + shear
+    * survival only. Why this equals what an Otsu-thresholded count over
+    * the rendered bitmap sees: ink noise lands in [18,49] and background
+    * in [215,246], so any threshold between the modes classifies exactly;
+    * each logical mask pixel becomes a pure 2x2 stored block (upscale),
+    * the shear's even displacement moves both block rows together and
+    * clips whole blocks (w2/h2 even, dy2 even — no partial block can
+    * straddle the frame edge), and rotation permutes pixels without loss.
+    * The same purity argument makes the logical count after the kernel's
+    * 2x box-mean downsample exactly this / 4 (x8). */
+  def expectedInkPx2x(docId: String, page: Int): Long = {
+    val mask = inkMask(docId, page)
+    val slope = skewSlope(docId, page)
+    val h2 = LogicalH * Scale
+    var count = 0L
+    var y = 0
+    while (y < LogicalH) {
+      var x = 0
+      while (x < LogicalW) {
+        if (mask(y * LogicalW + x)) {
+          if (slope == 0) count += 4
+          else {
+            // stored rows 2y,2y+1 shifted by the even dy2 survive or clip
+            // together: 2y+dy2 is even, h2 even, so it can never land on
+            // -1 or h2-1
+            val dy2 = 2 * graft.img.Deskew.shearDy(x, LogicalW, slope)
+            val sy = 2 * y + dy2
+            if (sy >= 0 && sy < h2) count += 4
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    count
   }
 
   /** media_ref scheme for the synthetic store. */

@@ -39,5 +39,21 @@ class MediaBinarySpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rows.forall { r =>
       val d = r.getAs[Long]("ink_e6"); d > 1000 && d < 500000
     })
+    // generator-owned golden (metadata dims + exact mask ink count,
+    // carried through codec + downsample) holds on every sampled frame
+    assert(rows.forall(_.getAs[Long]("golden_mismatch") == 0L))
+  }
+
+  test("x4: decode-seam stats match the generator's metadata goldens exactly") {
+    val rows = SparkEntry.queries("x4_media_stats")(spark, "unused").collect()
+    assert(rows.nonEmpty)
+    // every media span self-verifies: stored dims from rotation metadata,
+    // ink_e6 from the drawing mask + shear survival (Otsu-exactness:
+    // noise modes [18,49]/[215,246] never overlap any threshold between)
+    assert(rows.forall(_.getAs[Long]("golden_mismatch") == 0L))
+    // the check is not vacuous: rotated pages exist in the sample, so the
+    // dims golden exercises both orientations
+    assert(rows.exists(r => r.getAs[Int]("w") > r.getAs[Int]("h")))
+    assert(rows.exists(r => r.getAs[Int]("w") < r.getAs[Int]("h")))
   }
 }

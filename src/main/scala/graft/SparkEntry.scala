@@ -108,7 +108,9 @@ object SparkEntry {
     * table detection P/R on the synthetic corpus), and x4_mismatch /
     * x8_mismatch = media rows whose decoded dims + Otsu-exact ink count
     * disagree with the generator's metadata-derived goldens (decode seam
-    * and codec-roundtrip-plus-downsample respectively). Cell-level FP/FN are
+    * and codec-roundtrip-plus-downsample respectively), and x2_mismatch =
+    * detection rows whose box misses the planted table at IoU 0.5 (or
+    * scoped pages with no detection at all). Cell-level FP/FN are
     * deliberately NOT asserted zero: on short tables the ported
     * adaptive-close kernel (k = |minDist-10|, reference :597-616) can
     * leave the 3px join gap between drawn h-lines (5px bands) and
@@ -142,7 +144,13 @@ object SparkEntry {
     val x8 = mediaBinary(spark, 32)
       .agg(coalesce(sum(col("golden_mismatch")), lit(0)).cast("long")
         .as("x8_mismatch"))
+    // x2's per-row box-IoU check vs the planted table (GT-outward join:
+    // a no-detection page counts as a mismatch row, it cannot vanish)
+    val x2 = tableDetect(spark, 48)
+      .agg(coalesce(sum(col("golden_mismatch")), lit(0)).cast("long")
+        .as("x2_mismatch"))
     x1.crossJoin(x3).crossJoin(x5).crossJoin(x6).crossJoin(x4).crossJoin(x8)
+      .crossJoin(x2)
   }
 
   /** Multimodal feature extraction as a standalone distributed query:
@@ -292,7 +300,7 @@ object SparkEntry {
   private def tableDetect(spark: SparkSession, nDocs: Int): DataFrame = {
     import spark.implicits._
     import graft.synth.PageRenderer
-    tablePages(spark, nDocs).repartition(8).mapPartitions { it =>
+    val det = tablePages(spark, nDocs).repartition(8).mapPartitions { it =>
       it.flatMap { case (docId, page) =>
         val stored = PageRenderer.render(docId, page)
         graft.kernel.TableDetect.detectTables(stored).zipWithIndex.map {
@@ -302,6 +310,30 @@ object SparkEntry {
         }
       }
     }.toDF("doc_id", "page", "table_idx", "x1", "y1", "x2", "y2", "n_cells")
+    // SELF-VERIFYING: every scoped page carries exactly one planted table
+    // whose 2x box the generator owns (TableSpec.bbox2x) — join from the
+    // GT outward so a page where detection found NOTHING surfaces as a
+    // null-box mismatch row instead of vanishing (x5 lesson). The check
+    // is integer-exact IoU >= 0.5 (2*inter >= union, no floats). Cell
+    // COUNT is deliberately not asserted here: the ported adaptive-close
+    // kernel can merge a short table's row holes exactly like the
+    // reference (x9 scaladoc) — box-level detection is the invariant,
+    // cell structure is x5's exact-grid check on the work-list scope.
+    val gt = tablePages(spark, nDocs).map { case (docId, page) =>
+      val b = PageRenderer.layoutFor(docId, page).table.get.bbox2x
+      (docId, page, b.x1, b.y1, b.x2, b.y2)
+    }.toDF("doc_id", "page", "gx1", "gy1", "gx2", "gy2")
+    val inter =
+      greatest(lit(0), least(col("x2"), col("gx2")) - greatest(col("x1"), col("gx1"))) *
+      greatest(lit(0), least(col("y2"), col("gy2")) - greatest(col("y1"), col("gy1")))
+    val union =
+      (col("x2") - col("x1")) * (col("y2") - col("y1")) +
+      (col("gx2") - col("gx1")) * (col("gy2") - col("gy1")) - inter
+    det.join(gt, Seq("doc_id", "page"), "full_outer")
+      .withColumn("golden_mismatch",
+        when(inter * 2 >= union, 0L).otherwise(1L))
+      .select("doc_id", "page", "table_idx", "x1", "y1", "x2", "y2",
+              "n_cells", "golden_mismatch")
       .orderBy("doc_id", "page", "table_idx")
   }
 
@@ -1226,6 +1258,7 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS x6_table_fp,
                 CAST(0 AS BIGINT) AS x6_table_fn,
                 CAST(0 AS BIGINT) AS x4_mismatch,
-                CAST(0 AS BIGINT) AS x8_mismatch""",
+                CAST(0 AS BIGINT) AS x8_mismatch,
+                CAST(0 AS BIGINT) AS x2_mismatch""",
   )
 }

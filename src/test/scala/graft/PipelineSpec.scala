@@ -423,4 +423,17 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(bad == 0, s"$bad rows with span-sequence mismatches vs golden")
     df.unpersist()
   }
+
+  test("x2 is self-verifying: every detection IoU-matches its planted table, " +
+       "and every scoped GT page is present (GT-outward join)") {
+    val rows = SparkEntry.queries("x2_table_detect")(spark, "unused").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("golden_mismatch") == 0L),
+      "a detection missed its planted table box (or a GT page had none)")
+    // the GT side drives the join: a detection row exists for every scoped
+    // page, so a total table-detection regression cannot pass as 0 rows
+    assert(rows.map(r => (r.getAs[String]("doc_id"), r.getAs[Int]("page")))
+      .distinct.length == rows.length,
+      "exactly one detection per planted-table page")
+  }
 }

@@ -291,10 +291,38 @@ object Bench {
   def shouldDefer(probeGbps: Double, deferSecUsed: Int, elapsedSec: Double,
                   pairWallsSec: Seq[Double], budgetSec: Double): Boolean =
     probeGbps < DegradedBw8Gbps &&
+    deferFits(deferSecUsed, elapsedSec, pairWallsSec, budgetSec)
+
+  /** The cap-and-budget half of the deferral policy: one more sleep is
+    * affordable iff it stays inside [[MaxTotalDeferSec]] AND leaves room
+    * for the mandatory pair at the DEGRADED pair-wall floor. */
+  def deferFits(deferSecUsed: Int, elapsedSec: Double,
+                pairWallsSec: Seq[Double], budgetSec: Double): Boolean =
     deferSecUsed + DeferSleepSec <= MaxTotalDeferSec &&
     elapsedSec + DeferSleepSec +
       math.max(predictedPairSec(pairWallsSec), DegradedPairWallGuessSec) <
       budgetSec
+
+  /** Consecutive QUIET probe readings required to end a deferral that
+    * has seen degradation. Invocation 9 live: a single probe rebounded
+    * past [[DegradedBw8Gbps]] between two degraded readings — a flapping
+    * epoch edge — and the undebounced exit released the pair into a
+    * still-degraded window (both pairs turbulent, honest fail). One
+    * confirmation probe costs at most one extra [[DeferSleepSec]] after
+    * a genuine epoch end and is still bounded by the same cap/budget. */
+  val QuietProbesToEndDefer = 2
+
+  /** The regime half of the deferral policy: another sleep+re-probe is
+    * WANTED iff the host reads degraded now, or a degradation epoch was
+    * seen and quiet readings haven't yet debounced it. A run whose first
+    * probe reads quiet never defers (everDegraded=false) — the common
+    * quiet case stays zero-cost. Like [[shouldDefer]], this depends only
+    * on environment probes, never measured efficiencies, so the fixed
+    * sampling plan stays free of optional stopping. */
+  def deferMore(probeGbps: Double, everDegraded: Boolean,
+                quietStreak: Int): Boolean =
+    probeGbps < DegradedBw8Gbps ||
+    (everDegraded && quietStreak < QuietProbesToEndDefer)
 
   /** Last emitted artifact line — the watchdog re-emits it with
     * `truncated` flipped true before halting. */
@@ -421,16 +449,23 @@ object Bench {
     val retryDeadlineSec = (deadlineSec - 300.0).max(deadlineSec * 0.4)
     var deferSecUsed = 0
     def awaitQuietWindow(): Unit = {
-      var probe = membw(8)
-      while (shouldDefer(probe, deferSecUsed, elapsed, pairWalls,
-                         retryDeadlineSec)) {
-        System.err.println(
-          f"[bench] host degraded (8-core membw $probe%.1f GB/s < " +
-          f"$DegradedBw8Gbps%.0f): deferring ${DeferSleepSec}s " +
-          f"(${deferSecUsed}s/${MaxTotalDeferSec}s used) | t=$elapsed%.0fs")
-        Thread.sleep(DeferSleepSec * 1000L)
-        deferSecUsed += DeferSleepSec
-        probe = membw(8)
+      var everDegraded = false
+      var quietStreak = 0
+      var waiting = true
+      while (waiting) {
+        val probe = membw(8)
+        if (probe < DegradedBw8Gbps) { everDegraded = true; quietStreak = 0 }
+        else quietStreak += 1
+        if (deferMore(probe, everDegraded, quietStreak) &&
+            deferFits(deferSecUsed, elapsed, pairWalls, retryDeadlineSec)) {
+          System.err.println(
+            f"[bench] host degraded (8-core membw $probe%.1f GB/s, " +
+            f"threshold $DegradedBw8Gbps%.0f, quiet streak $quietStreak/" +
+            f"$QuietProbesToEndDefer): deferring ${DeferSleepSec}s " +
+            f"(${deferSecUsed}s/${MaxTotalDeferSec}s used) | t=$elapsed%.0fs")
+          Thread.sleep(DeferSleepSec * 1000L)
+          deferSecUsed += DeferSleepSec
+        } else waiting = false
       }
     }
     awaitQuietWindow()

@@ -129,6 +129,33 @@ class BenchPolicySpec extends AnyFunSuite {
     // deferral can shift WHEN windows are sampled, never HOW MANY
   }
 
+  test("deferral epoch-end is debounced: one quiet probe inside a degraded " +
+       "epoch does not release the pair (invocation-9 flapping edge)") {
+    import Bench.{deferMore, deferFits, DegradedBw8Gbps, QuietProbesToEndDefer,
+                  DeferSleepSec, MaxTotalDeferSec}
+    assert(QuietProbesToEndDefer == 2)
+    // common quiet case: first probe quiet, never-degraded run measures
+    // immediately at zero deferral cost
+    assert(!deferMore(58.0, everDegraded = false, quietStreak = 1))
+    // degraded probe always wants another sleep, regardless of history
+    assert(deferMore(45.0, everDegraded = false, quietStreak = 0))
+    assert(deferMore(45.0, everDegraded = true, quietStreak = 0))
+    // the inv-9 edge: epoch seen, ONE probe rebounds past the threshold —
+    // still deferring (needs a second consecutive quiet reading)
+    assert(deferMore(58.0, everDegraded = true, quietStreak = 1))
+    // second consecutive quiet probe: epoch end confirmed, measure
+    assert(!deferMore(58.0, everDegraded = true, quietStreak = 2))
+    // boundary reading counts as quiet (same convention as shouldDefer)
+    assert(!deferMore(DegradedBw8Gbps, everDegraded = true, quietStreak = 2))
+    // the confirmation sleep obeys the same cap and budget-fit floor as a
+    // degraded one — debouncing can never push the pair past the budget
+    assert(!deferFits(MaxTotalDeferSec, 100, Seq(250), 1500))
+    assert(deferFits(MaxTotalDeferSec - DeferSleepSec, 100, Seq(250), 1500))
+    assert(!deferFits(0, 600, Seq(250), 1500)) // 600+60+850 >= 1500
+    // deferMore takes no efficiency/verdict input either — the debounce
+    // is as verdict-blind as the deferral it extends
+  }
+
   test("exemplar pair = most balanced passer, not the noisiest ratio") {
     // live case: a 58 s interference hit on one 8-core half produced
     // pipe 1.397 / kernel 0.577 — technically a passer, but the summary

@@ -47,14 +47,21 @@ import org.apache.spark.sql.SparkSession
   *        probes disagreeing by > [[TurbulenceFrac]] mark the attempt
   *        turbulent — recorded per pair so the artifact shows which
   *        windows were shifting while timed.
-  *      - pairs are DEFERRED while the host is visibly degraded: a
-  *        cheap pre-pair 8-core membw probe below [[DegradedBw8Gbps]]
-  *        sleeps [[DeferSleepSec]] and re-probes, bounded by
-  *        [[MaxTotalDeferSec]] and the budget fit. Deferral consults
-  *        only environment probes — never measured efficiencies — so it
-  *        adds no optional-stopping bias; it exists because every
-  *        recorded gate failure was a degradation epoch the probes see
-  *        directly ([[shouldDefer]]).
+  *      - every pair starts only after a CONFIRMED-QUIET window:
+  *        [[QuietProbesToEndDefer]] consecutive cheap 8-core membw
+  *        probes at or above [[QuietExitBw8Gbps]] (the bottom of the
+  *        quiet baseline band). Confident-quiet probes re-probe
+  *        immediately — a genuinely quiet host pays ~two probe walls,
+  *        no sleeps — while degraded or shoulder readings sleep
+  *        [[DeferSleepSec]] between probes, bounded by
+  *        [[MaxTotalDeferSec]] and the budget fit ([[deferFits]]).
+  *        Single-probe gating failed twice live: invocation 11 exited a
+  *        deferral on two shoulder readings a hair above the entry
+  *        threshold, and invocation 12 skipped deferral entirely on one
+  *        flapping spike inside a deep epoch. Deferral consults only
+  *        environment probes — never measured efficiencies — so it adds
+  *        no optional-stopping bias; it exists because every recorded
+  *        gate failure was a degradation epoch the probes see directly.
   *
   *     The artifact carries both views (`gate_passed_pooled`,
   *     `gate_passed_pair`, per-pair efficiency arrays) so the verdict is
@@ -276,23 +283,6 @@ object Bench {
     * the retry budget into a truncated artifact. */
   val DegradedPairWallGuessSec = 850.0
 
-  /** Degradation-aware deferral: true iff the next pair should WAIT
-    * rather than measure now. Every round-4 gate failure was a sustained
-    * whole-host degradation epoch where even the kernel disjunct read
-    * true-negative (the box genuinely was not scaling), and a degraded
-    * pair costs up to 3x the wall of a quiet one — so a bounded sleep
-    * that can catch an epoch edge (exactly how invocation 6 passed, with
-    * its last pair in a recovering window) saves budget in expectation.
-    * Depends ONLY on the environment probe, elapsed time and the global
-    * defer budget — never on measured efficiencies, so the fixed
-    * sampling plan stays free of optional stopping: the VERDICT cannot
-    * influence how many pairs are measured, only the (verdict-blind)
-    * environment can influence when. */
-  def shouldDefer(probeGbps: Double, deferSecUsed: Int, elapsedSec: Double,
-                  pairWallsSec: Seq[Double], budgetSec: Double): Boolean =
-    probeGbps < DegradedBw8Gbps &&
-    deferFits(deferSecUsed, elapsedSec, pairWallsSec, budgetSec)
-
   /** The cap-and-budget half of the deferral policy: one more sleep is
     * affordable iff it stays inside [[MaxTotalDeferSec]] AND leaves room
     * for the mandatory pair at the DEGRADED pair-wall floor. */
@@ -303,26 +293,51 @@ object Bench {
       math.max(predictedPairSec(pairWallsSec), DegradedPairWallGuessSec) <
       budgetSec
 
-  /** Consecutive QUIET probe readings required to end a deferral that
-    * has seen degradation. Invocation 9 live: a single probe rebounded
-    * past [[DegradedBw8Gbps]] between two degraded readings — a flapping
-    * epoch edge — and the undebounced exit released the pair into a
-    * still-degraded window (both pairs turbulent, honest fail). One
-    * confirmation probe costs at most one extra [[DeferSleepSec]] after
-    * a genuine epoch end and is still bounded by the same cap/budget. */
+  /** Consecutive CONFIDENT-QUIET probe readings required before any pair
+    * may start. Two single-probe failures live: invocation 9's flapping
+    * epoch edge (one rebound probe between two degraded readings), and
+    * invocation 12's flapping spike (one probe read quiet inside a deep
+    * epoch whose very next bracket read 25.9 GB/s). Confirmation costs a
+    * genuinely quiet host only one extra probe wall (~15 s, no sleep:
+    * [[probeNeedsSleep]]) and is still bounded by the same cap/budget. */
   val QuietProbesToEndDefer = 2
 
-  /** The regime half of the deferral policy: another sleep+re-probe is
-    * WANTED iff the host reads degraded now, or a degradation epoch was
-    * seen and quiet readings haven't yet debounced it. A run whose first
-    * probe reads quiet never defers (everDegraded=false) — the common
-    * quiet case stays zero-cost. Like [[shouldDefer]], this depends only
-    * on environment probes, never measured efficiencies, so the fixed
-    * sampling plan stays free of optional stopping. */
-  def deferMore(probeGbps: Double, everDegraded: Boolean,
-                quietStreak: Int): Boolean =
-    probeGbps < DegradedBw8Gbps ||
-    (everDegraded && quietStreak < QuietProbesToEndDefer)
+  /** HYSTERESIS quiet threshold: only probes at or above the bottom of
+    * the QUIET baseline band (55-60 GB/s across three rounds of data)
+    * advance the confirmation streak — not merely probes above the 52
+    * degradation threshold. Invocation 11 live: a flapping shoulder
+    * (probes 46.8-53.1) produced two readings a hair above 52, the
+    * deferral debounced out, and the pair's own brackets read 49.5 —
+    * the epoch had not ended. Readings in the 52-55 shoulder neither
+    * reset nor advance the quiet streak ([[updatedQuietStreak]]). */
+  val QuietExitBw8Gbps = 55.0
+
+  /** Quiet-streak transition under hysteresis: degraded resets, a
+    * confidently-quiet reading advances, a shoulder reading (between
+    * the two thresholds) holds — the epoch edge is still flapping, so
+    * it neither confirms quiet nor re-enters degradation. Pure; pinned
+    * in BenchPolicySpec. */
+  def updatedQuietStreak(probeGbps: Double, streak: Int): Int =
+    if (probeGbps < DegradedBw8Gbps) 0
+    else if (probeGbps >= QuietExitBw8Gbps) streak + 1
+    else streak
+
+  /** The pacing half of the confirmation loop: a sub-confident reading
+    * (degraded OR shoulder) warrants a [[DeferSleepSec]] sleep before
+    * the next probe — the regime needs time to change — while a
+    * confident-quiet reading re-probes immediately, so confirmation on
+    * a genuinely quiet host costs probe walls only, never sleeps. Like
+    * the whole deferral policy this depends only on environment probes,
+    * never measured efficiencies: the fixed sampling plan stays free of
+    * optional stopping (the VERDICT cannot influence how many pairs are
+    * measured, only the verdict-blind environment can influence when). */
+  def probeNeedsSleep(probeGbps: Double): Boolean =
+    probeGbps < QuietExitBw8Gbps
+
+  /** Pair admission: measure once [[QuietProbesToEndDefer]] consecutive
+    * confident-quiet probes confirm the window (pure; pinned). */
+  def quietConfirmed(quietStreak: Int): Boolean =
+    quietStreak >= QuietProbesToEndDefer
 
   /** Last emitted artifact line — the watchdog re-emits it with
     * `truncated` flipped true before halting. */
@@ -448,24 +463,34 @@ object Bench {
     // rest of the deadline for measurement.
     val retryDeadlineSec = (deadlineSec - 300.0).max(deadlineSec * 0.4)
     var deferSecUsed = 0
+    // every pair needs a confirmed-quiet window: QuietProbesToEndDefer
+    // consecutive probes >= QuietExitBw8Gbps. Confident-quiet readings
+    // re-probe immediately (quiet host: ~two probe walls, no sleeps);
+    // degraded/shoulder readings sleep, bounded by cap + budget floor —
+    // when the budget runs out the mandatory pair measures regardless.
     def awaitQuietWindow(): Unit = {
-      var everDegraded = false
       var quietStreak = 0
       var waiting = true
       while (waiting) {
         val probe = membw(8)
-        if (probe < DegradedBw8Gbps) { everDegraded = true; quietStreak = 0 }
-        else quietStreak += 1
-        if (deferMore(probe, everDegraded, quietStreak) &&
-            deferFits(deferSecUsed, elapsed, pairWalls, retryDeadlineSec)) {
+        quietStreak = updatedQuietStreak(probe, quietStreak)
+        if (quietConfirmed(quietStreak)) waiting = false
+        else if (probeNeedsSleep(probe) &&
+                 deferFits(deferSecUsed, elapsed, pairWalls, retryDeadlineSec)) {
           System.err.println(
-            f"[bench] host degraded (8-core membw $probe%.1f GB/s, " +
-            f"threshold $DegradedBw8Gbps%.0f, quiet streak $quietStreak/" +
-            f"$QuietProbesToEndDefer): deferring ${DeferSleepSec}s " +
+            f"[bench] host not confidently quiet (8-core membw $probe%.1f " +
+            f"GB/s, degraded<$DegradedBw8Gbps%.0f quiet>=$QuietExitBw8Gbps%.0f, " +
+            f"streak $quietStreak/$QuietProbesToEndDefer): " +
+            f"deferring ${DeferSleepSec}s " +
             f"(${deferSecUsed}s/${MaxTotalDeferSec}s used) | t=$elapsed%.0fs")
           Thread.sleep(DeferSleepSec * 1000L)
           deferSecUsed += DeferSleepSec
-        } else waiting = false
+        } else if (probeNeedsSleep(probe)) {
+          // defer budget exhausted with the host still sub-quiet: the
+          // fixed plan's mandatory pair measures now, honestly degraded
+          waiting = false
+        }
+        // else: confident-quiet but unconfirmed — re-probe immediately
       }
     }
     awaitQuietWindow()

@@ -102,58 +102,70 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(GateTarget == 0.8)
   }
 
-  test("degradation deferral: waits on a degraded probe, bounded, verdict-blind") {
-    import Bench.{shouldDefer, DegradedBw8Gbps, DeferSleepSec, MaxTotalDeferSec}
-    // degraded probe with budget left: defer
-    assert(shouldDefer(45.0, deferSecUsed = 0, elapsedSec = 100,
-      pairWallsSec = Seq(250), budgetSec = 1500))
-    // quiet probe: measure immediately (boundary reading is quiet)
-    assert(!shouldDefer(DegradedBw8Gbps, 0, 100, Seq(250), 1500))
-    assert(!shouldDefer(58.0, 0, 100, Seq(250), 1500))
+  test("degradation deferral: sub-quiet probes sleep, bounded, verdict-blind") {
+    import Bench.{probeNeedsSleep, deferFits, DegradedBw8Gbps,
+                  QuietExitBw8Gbps, DeferSleepSec, MaxTotalDeferSec}
+    // degraded and shoulder probes both warrant a sleep before re-probing;
+    // confident-quiet probes re-probe immediately (confirmation costs a
+    // quiet host probe walls only, never sleeps)
+    assert(probeNeedsSleep(45.0))
+    assert(probeNeedsSleep(53.0))
+    assert(!probeNeedsSleep(QuietExitBw8Gbps))
+    assert(!probeNeedsSleep(58.0))
     // global defer budget exhausted: measure even if still degraded
-    assert(!shouldDefer(45.0, MaxTotalDeferSec, 100, Seq(250), 1500))
-    assert(shouldDefer(45.0, MaxTotalDeferSec - DeferSleepSec, 100, Seq(250), 1500))
+    assert(!deferFits(MaxTotalDeferSec, 100, Seq(250), 1500))
+    assert(deferFits(MaxTotalDeferSec - DeferSleepSec, 100, Seq(250), 1500))
     // a sleep that would push the mandatory pair past the budget: measure
     // now. The fit is floored at the DEGRADED pair wall (850), not the
     // quiet predictor (midpoint(250)*1.1 = 275): when deferral runs out
     // the host is BY CONSTRUCTION still degraded, so the pair it then
     // measures costs the degraded wall — a long defer must never turn
     // into a truncated artifact
-    assert(!shouldDefer(45.0, 0, 1200, Seq(250), 1500))
-    assert(!shouldDefer(45.0, 0, 600, Seq(250), 1500)) // 600+60+850 >= 1500
-    assert(shouldDefer(45.0, 0, 580, Seq(250), 1500))  // 580+60+850 < 1500
+    assert(!deferFits(0, 1200, Seq(250), 1500))
+    assert(!deferFits(0, 600, Seq(250), 1500)) // 600+60+850 >= 1500
+    assert(deferFits(0, 580, Seq(250), 1500))  // 580+60+850 < 1500
     // first pair (no walls observed): conservative guess still bounds it
-    assert(shouldDefer(45.0, 0, 0, Seq.empty, 1500))
-    assert(!shouldDefer(45.0, 0, 1100, Seq.empty, 1500)) // 1100+60+850 >= 1500
-    // no efficiency/verdict parameter exists in the signature at all —
+    assert(deferFits(0, 0, Seq.empty, 1500))
+    assert(!deferFits(0, 1100, Seq.empty, 1500)) // 1100+60+850 >= 1500
+    // no efficiency/verdict parameter exists in any signature —
     // deferral can shift WHEN windows are sampled, never HOW MANY
   }
 
-  test("deferral epoch-end is debounced: one quiet probe inside a degraded " +
-       "epoch does not release the pair (invocation-9 flapping edge)") {
-    import Bench.{deferMore, deferFits, DegradedBw8Gbps, QuietProbesToEndDefer,
-                  DeferSleepSec, MaxTotalDeferSec}
+  test("every pair needs a CONFIRMED-quiet window: one probe can never " +
+       "admit a pair (invocation-9/12 flapping spikes)") {
+    import Bench.{updatedQuietStreak, quietConfirmed, QuietProbesToEndDefer}
     assert(QuietProbesToEndDefer == 2)
-    // common quiet case: first probe quiet, never-degraded run measures
-    // immediately at zero deferral cost
-    assert(!deferMore(58.0, everDegraded = false, quietStreak = 1))
-    // degraded probe always wants another sleep, regardless of history
-    assert(deferMore(45.0, everDegraded = false, quietStreak = 0))
-    assert(deferMore(45.0, everDegraded = true, quietStreak = 0))
-    // the inv-9 edge: epoch seen, ONE probe rebounds past the threshold —
-    // still deferring (needs a second consecutive quiet reading)
-    assert(deferMore(58.0, everDegraded = true, quietStreak = 1))
-    // second consecutive quiet probe: epoch end confirmed, measure
-    assert(!deferMore(58.0, everDegraded = true, quietStreak = 2))
-    // boundary reading counts as quiet (same convention as shouldDefer)
-    assert(!deferMore(DegradedBw8Gbps, everDegraded = true, quietStreak = 2))
-    // the confirmation sleep obeys the same cap and budget-fit floor as a
-    // degraded one — debouncing can never push the pair past the budget
-    assert(!deferFits(MaxTotalDeferSec, 100, Seq(250), 1500))
-    assert(deferFits(MaxTotalDeferSec - DeferSleepSec, 100, Seq(250), 1500))
-    assert(!deferFits(0, 600, Seq(250), 1500)) // 600+60+850 >= 1500
-    // deferMore takes no efficiency/verdict input either — the debounce
-    // is as verdict-blind as the deferral it extends
+    // a single quiet probe — whether a rebound inside an epoch (inv 9) or
+    // a flapping spike before one (inv 12) — does not confirm the window
+    assert(!quietConfirmed(updatedQuietStreak(58.0, 0)))
+    // two consecutive confident-quiet probes do
+    assert(quietConfirmed(updatedQuietStreak(58.0, updatedQuietStreak(57.0, 0))))
+    // a degraded probe between them resets the confirmation
+    val flapped = Seq(58.0, 45.0, 58.0).foldLeft(0)(
+      (s, p) => updatedQuietStreak(p, s))
+    assert(!quietConfirmed(flapped))
+  }
+
+  test("quiet confirmation has hysteresis: shoulder readings (52-55) hold " +
+       "the streak, only >=55 advances it (invocation-11 shoulder)") {
+    import Bench.{updatedQuietStreak, quietConfirmed, DegradedBw8Gbps,
+                  QuietExitBw8Gbps}
+    assert(DegradedBw8Gbps == 52.0 && QuietExitBw8Gbps == 55.0)
+    // degraded resets, confident-quiet advances, shoulder HOLDS
+    assert(updatedQuietStreak(45.0, 1) == 0)
+    assert(updatedQuietStreak(58.0, 1) == 2)
+    assert(updatedQuietStreak(53.1, 1) == 1) // the inv-11 shoulder reading
+    assert(updatedQuietStreak(QuietExitBw8Gbps, 0) == 1) // boundary is quiet
+    assert(updatedQuietStreak(DegradedBw8Gbps, 3) == 3)  // boundary shoulder
+    // replay invocation 11's probe sequence: 46.8 51.2 50.1 40.3 53.1 52.6
+    // — under hysteresis the streak never reaches 2, so the deferral would
+    // NOT have released the pair into the still-marginal window
+    val probes = Seq(46.8, 51.2, 50.1, 40.3, 53.1, 52.6)
+    val streaks = probes.scanLeft(0)((s, p) => updatedQuietStreak(p, s)).tail
+    assert(streaks.forall(s => !quietConfirmed(s)))
+    // a genuine epoch end (two confident-quiet probes) still releases
+    val end = Seq(56.0, 57.5).foldLeft(0)((s, p) => updatedQuietStreak(p, s))
+    assert(quietConfirmed(end))
   }
 
   test("exemplar pair = most balanced passer, not the noisiest ratio") {

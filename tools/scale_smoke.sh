@@ -1,0 +1,52 @@
+#!/bin/bash
+# 50k-doc spark-submit scale smoke with a real mid-extract kill — validates
+# the crash-window reconcile (pipeline/ExtractJob.reconcile) at scale, not
+# just in PipelineSpec's simulated crash: gen -> extract killed -9 at ~50% ->
+# re-submit (reconcile cleans the uncommitted run dir, completes all docs) ->
+# third submit resumes as a no-op -> duplicate-free output asserted.
+#
+# Usage: tools/scale_smoke.sh [ndocs] [kill_after_sec]
+set -u
+NDOCS=${1:-50000}
+KILL_AFTER=${2:-50}
+JAR=$(ls -t target/scala-2.13/ocrrecognitionspark_*.jar | head -1)
+BASE=/tmp/graft_scale_smoke
+SUBMIT="/opt/spark/bin/spark-submit --class graft.Main --master local[32] \
+  --driver-memory 8g --conf spark.sql.shuffle.partitions=32 \
+  --conf spark.ui.enabled=false $JAR"
+
+rm -rf "$BASE"; mkdir -p "$BASE"
+
+echo "== gen $NDOCS docs"
+time $SUBMIT gen "$BASE/snap" "$NDOCS" 2>"$BASE/gen.err" | grep GEN
+
+echo "== extract (killed -9 after ${KILL_AFTER}s)"
+setsid $SUBMIT extract "$BASE/snap" "$BASE/out" "$BASE/ckpt" \
+  >"$BASE/extract1.out" 2>"$BASE/extract1.err" &
+PID=$!
+sleep "$KILL_AFTER"
+kill -9 -- "-$PID" 2>/dev/null
+wait "$PID" 2>/dev/null
+echo "killed extract pgid $PID after ${KILL_AFTER}s"
+ls "$BASE/out" 2>/dev/null || echo "(no output dir yet)"
+
+echo "== re-submit extract (reconcile + complete)"
+time $SUBMIT extract "$BASE/snap" "$BASE/out" "$BASE/ckpt" \
+  2>"$BASE/extract2.err" | grep EXTRACT
+
+echo "== third submit (no-op resume)"
+time $SUBMIT extract "$BASE/snap" "$BASE/out" "$BASE/ckpt" \
+  2>"$BASE/extract3.err" | grep EXTRACT
+
+echo "== duplicate-free output assertion (duckdb, driver-side check)"
+python3 - "$BASE" "$NDOCS" <<'EOF'
+import duckdb, sys
+base, n = sys.argv[1], int(sys.argv[2])
+rows, docs = duckdb.sql(
+    f"SELECT count(*), count(DISTINCT doc_id) "
+    f"FROM read_parquet('{base}/out/run=*/*.parquet')").fetchone()
+assert docs == n, f"expected {n} distinct docs, got {docs}"
+assert rows == docs, f"{rows - docs} duplicate doc rows"
+print(f"OK: {docs} distinct docs, {rows} rows, zero duplicates")
+EOF
+du -sh "$BASE/out" "$BASE/ckpt"

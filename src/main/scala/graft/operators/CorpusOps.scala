@@ -399,14 +399,22 @@ object CorpusOps {
     while (!converged && rounds < maxRounds) {
       val msgs = edgesBi.join(labels, col("src") === col("vec_id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
-      // checkpoint BEFORE the self-join: `stepped` feeds both sides, and
-      // without materialization the neighbour-min shuffle would execute
-      // twice per round. Each step also carries its own per-row `chg`
-      // flag (labels are monotone non-increasing, so "this step changed
-      // something" is just `new < old`): convergence is then two cheap
-      // partial aggs over the already-cached checkpoints instead of the
-      // old labels-vs-next equi-join + count — one keyed shuffle per
-      // round saved (round-3 verdict asked d10 under 15 s at sf0.1)
+      // checkpoint BEFORE the convergence agg and the jump self-join:
+      // `stepped` feeds both, and without materialization the
+      // neighbour-min shuffle would execute twice per round. The per-row
+      // `chg` flag (labels are monotone non-increasing, so "changed" is
+      // just `new < old`) makes convergence one cheap partial agg over
+      // the cached checkpoint. The NEIGHBOUR-MIN step alone is a
+      // sufficient convergence test: edges are bidirectional, so a
+      // neighbour-min fixed point means lbl(u) <= lbl(v) and
+      // lbl(v) <= lbl(u) across every edge — labels already constant per
+      // component — and the pointer jump is then the identity (every
+      // label is its component's min, which labels itself). Checking only
+      // this step cuts each round to 2 checkpoint jobs + 1 agg (was
+      // 3 + 2) and skips the converged round's jump join entirely; at
+      // sf0.1 the longest near-dup chain needs ~10 doubling rounds, so
+      // per-round job count dominates the query (round-3 verdict asked
+      // d10 under 15 s at sf0.1).
       val stepped = labels.join(msgs, col("vec_id") === col("dst"), "left")
         .select(col("vec_id"),
                 least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
@@ -414,19 +422,20 @@ object CorpusOps {
                 (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl"))
                   .cast("long").as("chg"))
         .localCheckpoint(true)
-      val next = stepped.as("a")
-        .join(stepped.select(col("vec_id").as("p_id"), col("lbl").as("p_lbl")),
-              col("a.lbl") === col("p_id"), "left")
-        .select(col("a.vec_id").as("vec_id"),
-                coalesce(col("p_lbl"), col("a.lbl")).as("lbl"),
-                (coalesce(col("p_lbl"), col("a.lbl")) < col("a.lbl"))
-                  .cast("long").as("chg"))
-        .localCheckpoint(true)
       val changed =
-        stepped.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0) +
-        next.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
-      labels = next.select(col("vec_id"), col("lbl"))
-      converged = changed == 0
+        stepped.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
+      if (changed == 0) {
+        labels = stepped.select(col("vec_id"), col("lbl"))
+        converged = true
+      } else {
+        labels = stepped.as("a")
+          .join(stepped.select(col("vec_id").as("p_id"),
+                               col("lbl").as("p_lbl")),
+                col("a.lbl") === col("p_id"), "left")
+          .select(col("a.vec_id").as("vec_id"),
+                  coalesce(col("p_lbl"), col("a.lbl")).as("lbl"))
+          .localCheckpoint(true)
+      }
       rounds += 1
     }
     System.err.println(

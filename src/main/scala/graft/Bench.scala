@@ -38,7 +38,10 @@ import org.apache.spark.sql.SparkSession
   *      - the GATE IS EVALUATED ONCE, after all sampling: it passes iff
   *        the POOLED estimators pass (min wall per level across all
   *        attempts, max bandwidth — the cross-window sustainable-rate
-  *        view) OR any single PAIR passes within its own window. Gate
+  *        view) OR any single CLEAN PAIR passes within its own window
+  *        (non-turbulent brackets, pipeline ratio within the
+  *        plausibility cap — a turbulent "pass" is the one-sided noise
+  *        artifact the protocol exists to exclude). Gate
   *        rule per view (BASELINE.md): pipeline efficiency >= 0.8, OR
   *        kernel efficiency >= 0.8 AND pipeline/membw >= 1.0 (the
   *        pipeline loses nothing beyond the single-socket bandwidth
@@ -197,6 +200,15 @@ object Bench {
       math.min(bwPre, bwPost) < (1.0 - TurbulenceFrac) * bw
   }
 
+  /** Interference bias is ONE-SIDED: noise can only slow a level, so a
+    * hit on the 8-core half of a pair can only fake HIGH efficiency —
+    * and `exists(_.passed)` over 5 windows would latch a single such
+    * fake. A pair whose pipeline ratio exceeds this cap is physically
+    * suspect (nothing here scales super-linearly; small measurement
+    * jitter around 1.0 is real, 1.2+ means the 8-core half absorbed a
+    * spike) and must not carry the gate on its own. */
+  val PlausiblePairEffCap = 1.15
+
   /** An 8-core and a 32-core attempt measured back-to-back — the
     * within-one-noise-window view of 8→32 scaling. */
   final case class PairAttempt(a8: Attempt, a32: Attempt) {
@@ -205,9 +217,17 @@ object Bench {
     def bwEff: Double = a32.bw / (4.0 * a8.bw)
     def pOverB: Double = pipeEff / bwEff
     def turbulent: Boolean = a8.turbulent || a32.turbulent
-    /** This window's verdict under the per-view gate rule. */
+    /** This window's verdict under the per-view gate rule. Only a CLEAN
+      * window may carry the gate alone: non-turbulent brackets (the
+      * environment held still while both levels were timed) and a
+      * physically plausible ratio (see [[PlausiblePairEffCap]]) — a
+      * turbulent pass would be exactly the one-sided noise artifact the
+      * paired protocol exists to exclude. */
+    def plausible: Boolean =
+      pipeEff <= PlausiblePairEffCap && kernEff <= PlausiblePairEffCap
     def passed: Boolean =
-      pipeEff >= GateTarget || (kernEff >= GateTarget && pOverB >= 1.0)
+      !turbulent && plausible &&
+      (pipeEff >= GateTarget || (kernEff >= GateTarget && pOverB >= 1.0))
   }
 
   /** Pooled + per-pair gate evaluation — called exactly once, after the
@@ -227,8 +247,13 @@ object Bench {
     val kEff = all8.map(_.kernelSec).min / (4.0 * all32.map(_.kernelSec).min)
     val bwEff = all32.map(_.bw).max / (4.0 * all8.map(_.bw).max)
     val pOverB = eff / bwEff
+    // the plausibility cap applies to the pooled view too: a pooled
+    // ratio past it means even the BEST 8-core window was contaminated
+    // (noise only ever fakes HIGH efficiency) — that run is
+    // unmeasurable, which is a fail, not a pass
     val pooled =
-      eff >= GateTarget || (kEff >= GateTarget && pOverB >= 1.0)
+      eff <= PlausiblePairEffCap && kEff <= PlausiblePairEffCap &&
+      (eff >= GateTarget || (kEff >= GateTarget && pOverB >= 1.0))
     GateResult(eff, kEff, bwEff, pOverB, pooled, pairs.exists(_.passed))
   }
 
@@ -528,7 +553,7 @@ object Bench {
       val qs = queryTimes.map { case (k, v) => s""""$k":${f4(v)}""" }
         .mkString("{", ",", "}")
       val totalQuerySec = queryTimes.map(_._2).sum
-      s"""{"metric":"end-to-end extraction throughput (docs/sec at local[32]; scaling efficiency local[8]->local[32] attached)","value":${f4(docs32)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f4(totalQuerySec)},"truncated":false,"scaling":{"corpus_docs":$nDocs,"corpus_spans":$totalSpans,"local8_docs_per_sec":${f4(docs8)},"local8_spans_per_sec":${f4(spans8)},"local32_docs_per_sec":${f4(docs32)},"local32_spans_per_sec":${f4(spans32)},"efficiency_n_to_4n":${f4(gate.pipeEff)},"kernel_local8_docs_per_sec":${f4(k8)},"kernel_local32_docs_per_sec":${f4(k32)},"kernel_efficiency_n_to_4n":${f4(gate.kernEff)},"membw_local8_gbps":${f4(bw8)},"membw_local32_gbps":${f4(bw32)},"membw_efficiency_n_to_4n":${f4(gate.bwEff)},"pipeline_over_membw":${f4(gate.pOverB)},"pairs":${pairs.size},"degraded_defer_sec":$deferSecUsed,"pair_pipe_effs":${effArr(_.pipeEff)},"pair_kernel_effs":${effArr(_.kernEff)},"pair_pipe_over_membw":${effArr(_.pOverB)},"pair_turbulent":${pairs.map(_.turbulent).mkString("[", ",", "]")},"best_pair_pipeline_eff":${f4(bestPair.pipeEff)},"best_pair_kernel_eff":${f4(bestPair.kernEff)},"best_pair_pipe_over_membw":${f4(bestPair.pOverB)},"gate_passed_pooled":${gate.pooledPassed},"gate_passed_pair":${gate.pairPassed},"gate_passed":${gate.passed},"gate_rule":"pooled-min-wall OR any same-window pair: pipeline>=0.8 OR (kernel>=0.8 AND pipeline_over_membw>=1.0); fixed sampling (no optional stopping)","attempts_8":${pairs.size},"attempts_32":${pairs.size}}}"""
+      s"""{"metric":"end-to-end extraction throughput (docs/sec at local[32]; scaling efficiency local[8]->local[32] attached)","value":${f4(docs32)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f4(totalQuerySec)},"truncated":false,"scaling":{"corpus_docs":$nDocs,"corpus_spans":$totalSpans,"local8_docs_per_sec":${f4(docs8)},"local8_spans_per_sec":${f4(spans8)},"local32_docs_per_sec":${f4(docs32)},"local32_spans_per_sec":${f4(spans32)},"efficiency_n_to_4n":${f4(gate.pipeEff)},"kernel_local8_docs_per_sec":${f4(k8)},"kernel_local32_docs_per_sec":${f4(k32)},"kernel_efficiency_n_to_4n":${f4(gate.kernEff)},"membw_local8_gbps":${f4(bw8)},"membw_local32_gbps":${f4(bw32)},"membw_efficiency_n_to_4n":${f4(gate.bwEff)},"pipeline_over_membw":${f4(gate.pOverB)},"pairs":${pairs.size},"degraded_defer_sec":$deferSecUsed,"pair_pipe_effs":${effArr(_.pipeEff)},"pair_kernel_effs":${effArr(_.kernEff)},"pair_pipe_over_membw":${effArr(_.pOverB)},"pair_turbulent":${pairs.map(_.turbulent).mkString("[", ",", "]")},"best_pair_pipeline_eff":${f4(bestPair.pipeEff)},"best_pair_kernel_eff":${f4(bestPair.kernEff)},"best_pair_pipe_over_membw":${f4(bestPair.pOverB)},"gate_passed_pooled":${gate.pooledPassed},"gate_passed_pair":${gate.pairPassed},"gate_passed":${gate.passed},"gate_rule":"pooled-min-wall OR any clean same-window pair (non-turbulent, pipeline eff<=1.15): pipeline>=0.8 OR (kernel>=0.8 AND pipeline_over_membw>=1.0); fixed sampling (no optional stopping)","attempts_8":${pairs.size},"attempts_32":${pairs.size}}}"""
     }
 
     // scaling artifact is safe on stdout + sidecars from here on, whatever

@@ -158,7 +158,12 @@ object CorpusOps {
     * The verified output is a SUBSET of all-pairs by construction; recall
     * is additionally pinned at both sf dirs in OperatorSpec. On other
     * corpora the recall dial is the band count (8x3 at k=24). */
-  def d7MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** The one resident d7 shingle projection (see below): kept so the
+    * NEXT d7 call can release it — without this, every d7 over a new
+    * corpus dir would stack another session-lifetime cache entry. */
+  private var d7LastCached: Option[DataFrame] = None
+
+  def d7MinHashLsh(s: SparkSession, dir: String): DataFrame = synchronized {
     GraftFunctions.register(s)
     // ONE tokenization pass per document: the sorted shingle-hash array is
     // computed once and the MinHash signature is derived FROM it — a doc
@@ -168,11 +173,17 @@ object CorpusOps {
     // persisted: the projection feeds three plan branches (band explode +
     // both sides of the candidate verify join) whose renamed columns defeat
     // exchange reuse — without the persist each branch would re-tokenize
-    // the whole corpus and "one pass" would only be true per-branch
+    // the whole corpus and "one pass" would only be true per-branch.
+    // The result is LAZY, so the cache cannot be dropped inside this call;
+    // it stays warm (deliberately — repeated d7s in a session reuse it)
+    // until the next d7 call releases it: at most ONE corpus projection
+    // resident, and MEMORY_AND_DISK keeps even that evictable.
+    d7LastCached.foreach(_.unpersist(blocking = false))
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), expr("shingles_sorted(text, 3)").as("sh"))
       .withColumn("sig", expr("minhash_from_shingles(sh, 24)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d7LastCached = Some(docs)
     val bands = docs.select(col("doc_id"),
       explode(array((0 until 8).map(b =>
         struct(lit(b).as("band"),

@@ -186,6 +186,20 @@ object ExtractJob {
     * attributes re-appended rows to the snapshot that produced them.
     * Cost: one directory listing per run() plus, only on an actual
     * crashed run, a column-pruned scan of that run's files. */
+  /** A run id this pipeline itself minted: `<snapId>_<nanoTime nonce>`
+    * (see [[run]]). Reconcile must only ever touch ITS OWN run dirs — a
+    * foreign `run=` directory (manual backup, another tool) is not a
+    * crashed run and deleting it would destroy data reconcile does not
+    * own. */
+  private val OwnRunId = "^(.+)_([0-9]+)$".r
+
+  /** SINGLE-WRITER contract: like any Spark job committing to one output
+    * path, at most one `run()` may execute against a given
+    * (outPath, ckptDir) at a time — reconcile cannot distinguish a
+    * crashed run's uncommitted dir from a concurrent run's in-flight one
+    * (neither has `_SUCCESS` yet), so a second concurrent writer would
+    * have its partial output reclaimed. Serialize runs per output table
+    * (the driver loop and the streaming wrapper both do). */
   private def reconcile(spark: SparkSession, outPath: String,
                         ckptDir: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -195,16 +209,26 @@ object ExtractJob {
     val runDirs = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("run="))
     for (dir <- runDirs) {
-      val runId = dir.getPath.getName.stripPrefix("run=")
-      if (!fs.exists(new Path(dir.getPath, "_SUCCESS"))) {
-        fs.delete(dir.getPath, true)
-        fs.delete(new Path(s"$ckptDir/done/run=$runId"), true)
-        fs.delete(new Path(s"$ckptDir/lineage/run=$runId"), true)
-      } else if (!Checkpoint.isRecorded(spark, ckptDir, runId)) {
-        val runSnap = runId.substring(0, math.max(0, runId.lastIndexOf('_')))
-        require(runSnap.nonEmpty, s"un-parseable run id '$runId' in $outPath")
-        Checkpoint.append(spark, ckptDir, runSnap, runId,
-          spark.read.parquet(dir.getPath.toString))
+      dir.getPath.getName.stripPrefix("run=") match {
+        case runId @ OwnRunId(runSnap, _) =>
+          if (!fs.exists(new Path(dir.getPath, "_SUCCESS"))) {
+            fs.delete(dir.getPath, true)
+            fs.delete(new Path(s"$ckptDir/done/run=$runId"), true)
+            fs.delete(new Path(s"$ckptDir/lineage/run=$runId"), true)
+          } else if (!Checkpoint.isRecorded(spark, ckptDir, runId)) {
+            Checkpoint.append(spark, ckptDir, runSnap, runId,
+              spark.read.parquet(dir.getPath.toString))
+          }
+        case foreign =>
+          // not ours: warn and leave it alone — it still pollutes the
+          // output glob, but silently deleting unowned data (or
+          // refusing to ever run again, as a hard require would) is
+          // strictly worse. The warning names the dir so an operator
+          // can move it out.
+          System.err.println(
+            s"[extract] reconcile: skipping foreign run dir " +
+            s"'run=$foreign' in $outPath (not a <snapId>_<nonce> id " +
+            "this pipeline mints); move it out of the output table")
       }
     }
   }

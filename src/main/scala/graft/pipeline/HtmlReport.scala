@@ -29,10 +29,10 @@ object HtmlReport {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;") // status lands in a class="..." attribute
 
-  /** doc_id comes from arbitrary input parquet and lands in a file PATH:
-    * anything outside [A-Za-z0-9._-] becomes '_' so a crafted id (e.g.
-    * containing '/' or '..') can never escape outDir. */
-  /** Filesystem-safe page filename stem. Sanitization can COLLIDE
+  /** Filesystem-safe page filename stem: doc_id comes from arbitrary
+    * input parquet and lands in a file PATH, so anything outside
+    * letters/digits/._- becomes '_' (a crafted id containing '/' or
+    * '..' can never escape outDir). Sanitization can COLLIDE
     * ('a/b' and 'a_b' both map to 'a_b'), and two colliding failing
     * pages would silently overwrite each other's HTML — so whenever
     * sanitization changed the string, a short hash of the RAW doc_id is

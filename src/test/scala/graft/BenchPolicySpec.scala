@@ -52,6 +52,35 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!pair(0.7, 0.79, bw8 = 40.0).passed) // kernel below target
   }
 
+  test("only a CLEAN pair may carry the gate: turbulence disqualifies") {
+    // same efficiencies as a passing pair, but the 8-core bracket moved
+    // while the level was timed — the window's verdict is untrustworthy
+    val turb = PairAttempt(
+      a(25, 18, pipe = 40.0 * 0.85, kern = 40.0 * 0.9),
+      a(100, 100, pipe = 10.0, kern = 10.0))
+    assert(turb.turbulent && !turb.passed)
+    // and the gate's pair disjunct must not latch it
+    assert(!evalGate(Seq(pair(0.6, 0.6), turb)).pairPassed)
+  }
+
+  test("only a PLAUSIBLE pair may carry the gate: super-linear ratios are " +
+       "one-sided interference, not scaling") {
+    // pipeline 'efficiency' 1.4: the 8-core half absorbed a spike — noise
+    // can only slow a level, so it only ever FAKES high efficiency
+    assert(!pair(1.4, 0.9).passed)
+    assert(!pair(0.9, 1.4).passed) // kernel half equally suspect
+    assert(pair(1.1, 1.0).passed)  // jitter around 1.0 is real, stays in
+    // the cap binds the POOLED view too: a pooled ratio past it means
+    // even the best 8-core window was contaminated — every real scaling
+    // effect (bandwidth saturation, turbo at low core counts, HT) pushes
+    // the ratio BELOW 1, so super-linear pooled numbers are unmeasurable
+    // runs, recorded as fails
+    val g = evalGate(Seq(pair(1.4, 0.9)))
+    assert(!g.pooledPassed && !g.pairPassed && !g.passed)
+    // a clean pooled pass within the cap is untouched
+    assert(evalGate(Seq(pair(0.9, 0.95))).pooledPassed)
+  }
+
   test("gate passes iff pooled passes OR any single pair passes") {
     val bad = pair(0.6, 0.6)
     val good = pair(0.85, 0.9)

@@ -152,6 +152,72 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assertSpanEquality(outDocs, goldens)
   }
 
+  test("reconcile: an uncommitted run dir (no _SUCCESS) is reclaimed and " +
+       "its docs re-extract exactly once") {
+    import spark.implicits._
+    val in = tmp("in3a"); val out = tmp("out3a"); val ck = tmp("ck3a")
+    val (inputs, goldens) = CorpusGen.corpus(8)
+    SnapshotTable.write(inputs.toDS.toDF, in, buckets = 2)
+    val snapId = SnapshotTable.currentSnapshotId(in)
+    // a run that died mid-write: output files on disk, commit marker absent
+    val orphan = s"$out/run=${snapId}_111"
+    ExtractJob.extract(spark, inputs.take(4).toDS,
+      ExtractJob.Config(buckets = 2)).write.parquet(orphan)
+    assert(Files.deleteIfExists(java.nio.file.Paths.get(orphan, "_SUCCESS")))
+    val r = ExtractJob.run(spark, in, out, ck)
+    // the orphan was reclaimed (its docs were never checkpointed), so ALL
+    // docs extract in this run and its partial parquet never leaks into
+    // the output glob as duplicates
+    assert(r.docsThisRun == 8 && r.docsProcessed == 8)
+    assert(!Files.exists(java.nio.file.Paths.get(orphan)))
+    val outDocs = ExtractJob.readOutput(spark, out).collect().toSeq
+    assert(outDocs.map(_.doc_id).distinct.size == 8)
+    assertSpanEquality(outDocs, goldens)
+  }
+
+  test("reconcile: a committed-but-unrecorded run dir (crash between " +
+       "output commit and checkpoint append) is recovered, not reprocessed") {
+    import spark.implicits._
+    val in = tmp("in3b"); val out = tmp("out3b"); val ck = tmp("ck3b")
+    val (inputs, goldens) = CorpusGen.corpus(8)
+    SnapshotTable.write(inputs.toDS.toDF, in, buckets = 2)
+    val snapId = SnapshotTable.currentSnapshotId(in)
+    // committed output (has _SUCCESS) whose checkpoint append never ran
+    val half = inputs.take(4)
+    ExtractJob.extract(spark, half.toDS, ExtractJob.Config(buckets = 2))
+      .write.parquet(s"$out/run=${snapId}_222")
+    val r = ExtractJob.run(spark, in, out, ck)
+    // reconcile re-ran the idempotent append from the committed files, so
+    // the resume anti-join skips those 4 docs instead of duplicating them
+    assert(r.docsThisRun == 4, s"expected 4 remaining, got ${r.docsThisRun}")
+    assert(r.docsProcessed == 8)
+    val outDocs = ExtractJob.readOutput(spark, out).collect().toSeq
+    assert(outDocs.map(_.doc_id).distinct.size == 8, "no duplicates")
+    assertSpanEquality(outDocs, goldens)
+  }
+
+  test("reconcile: a foreign run dir (id this pipeline never mints) is " +
+       "skipped with a warning, never deleted") {
+    import spark.implicits._
+    val in = tmp("in3c"); val out = tmp("out3c"); val ck = tmp("ck3c")
+    val (inputs, _) = CorpusGen.corpus(4)
+    SnapshotTable.write(inputs.toDS.toDF, in, buckets = 2)
+    // an operator-placed dir with no _SUCCESS and a non-<snapId>_<nonce>
+    // name: under the old code this was deleted as a crashed run (data
+    // loss); under the old RECOVERY path a committed one would brick
+    // every future run() via require. It must simply survive.
+    val foreign = java.nio.file.Paths.get(out, "run=backup")
+    Files.createDirectories(foreign)
+    Files.write(foreign.resolve("keep.parquet"), Array[Byte](1, 2, 3))
+    val r = ExtractJob.run(spark, in, out, ck)
+    assert(r.docsThisRun == 4)
+    assert(Files.exists(foreign.resolve("keep.parquet")),
+      "foreign run dir must survive reconcile untouched")
+    // and a SECOND run (resume no-op) must not trip over it either
+    assert(ExtractJob.run(spark, in, out, ck).docsThisRun == 0)
+    assert(Files.exists(foreign.resolve("keep.parquet")))
+  }
+
   test("lineage rows carry per-partition counts and confidence histograms") {
     import spark.implicits._
     val in = tmp("in4"); val out = tmp("out4"); val ck = tmp("ck4")

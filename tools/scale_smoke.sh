@@ -39,7 +39,10 @@ time $SUBMIT extract "$BASE/snap" "$BASE/out" "$BASE/ckpt" \
   2>"$BASE/extract3.err" | grep EXTRACT
 
 echo "== duplicate-free output assertion (duckdb, driver-side check)"
-python3 - "$BASE" "$NDOCS" <<'EOF'
+# the assertion must be able to FAIL the smoke: propagate python's status
+# (without this, a regression that duplicates docs would still exit 0 via
+# the trailing du)
+python3 - "$BASE" "$NDOCS" <<'EOF' || { echo "SMOKE FAILED: duplicate check"; exit 1; }
 import duckdb, sys
 base, n = sys.argv[1], int(sys.argv[2])
 rows, docs = duckdb.sql(

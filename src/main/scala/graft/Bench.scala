@@ -442,11 +442,16 @@ object Bench {
         Seq(cores.toString), s"MEMBW $cores ").head
     def attemptLevel(cores: Int): Attempt = {
       val pre = membw(cores)
-      // deeper warm-up at 32 cores: its ~5-9 s runs need 2 discarded
-      // executions to reach steady state, the 15-20 s 8-core runs warm in
-      // one (BenchLevel scaladoc — under-warming the fast level depresses
-      // the ratio)
-      val warms = if (cores >= 32) 2 else 1
+      // SYMMETRIC warm-up: both levels discard the same number of
+      // executions. An earlier build warmed 8 cores once and 32 cores
+      // twice (the long 8-core runs warm in one), but any residual
+      // first-run overhang on the lightly-warmed SLOW level inflates
+      // T8 and therefore the efficiency ratio — a structural bias in
+      // the direction that fakes a PASS, which an integrity-hardened
+      // gate must not carry. Equal counts are bias-neutral by
+      // construction; the min-over-runs estimator absorbs whatever
+      // warm-up residue survives either way.
+      val warms = 2
       val pipe = best(pinnedJvm(cores, "8g", "graft.BenchLevel",
         Seq(cores.toString, corpusPath, RunsPerAttempt.toString,
             warms.toString),

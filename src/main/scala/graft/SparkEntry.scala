@@ -120,7 +120,16 @@ object SparkEntry {
     * visible as x6_table_eval's cell_prec_e6/cell_rec_e6 (~99.5% at the
     * 96-doc scope). The DuckDB oracle is the constant all-zero row — a
     * hash match IS the invariant (any regression in extraction, layout,
-    * table structure, or table detection flips a value, red row). */
+    * table structure, or table detection flips a value, red row).
+    *
+    * x9 deliberately RECOMPUTES each family rather than sharing results
+    * with the per-family queries: DataFrames are lazy, so sharing would
+    * only help if the family results were persist()ed across independent
+    * query invocations — pinning executor memory for the whole Verify/
+    * Bench run to save ~3 s of a ~50 s phase. Recompute keeps every
+    * query self-contained (the driver calls them independently) and
+    * keeps x9 an end-to-end re-derivation, not a summary of possibly
+    * stale cached state. */
   private def selfCheckSummary(spark: SparkSession): DataFrame = {
     val x1 = extractSpans(spark, 24)
       .agg(count(when(col("mismatch_count") =!= 0L, 1)).as("x1_mismatch"))
@@ -1062,7 +1071,10 @@ object SparkEntry {
       """WITH RECURSIVE
          params(tbl, seed) AS (VALUES (0, 42), (1, 1337)),
          bits AS (SELECT unnest(generate_series(0, 5)) AS b),
-         dims AS (SELECT unnest(generate_series(0, 63)) AS d),
+         -- dimension comes from the data (the engine side uses
+         -- vec.length), never a hardcoded width
+         dim AS (SELECT len(embedding) AS n FROM embeddings LIMIT 1),
+         dims AS (SELECT unnest(generate_series(0, (SELECT n - 1 FROM dim))) AS d),
          -- hyperplane coefficient c(tbl,b,d): SplitMix64(seed ^ (b<<32) ^ d)
          -- mapped to [-1,1) exactly as the engine does
          hx0 AS (SELECT tbl, b, d,
@@ -1099,12 +1111,12 @@ object SparkEntry {
            FROM acc a
            JOIN embeddings e ON e.vec_id = a.vec_id
            JOIN coef c ON c.tbl = a.tbl AND c.b = a.b AND c.d = a.d
-           WHERE a.d < 64),
+           WHERE a.d < (SELECT n FROM dim)),
          buckets AS (
            SELECT vec_id, tbl,
                   CAST(SUM(CASE WHEN dot > 0 THEN 1 << b ELSE 0 END)
                        AS BIGINT) AS bucket
-           FROM acc WHERE d = 64 GROUP BY vec_id, tbl),
+           FROM acc WHERE d = (SELECT n FROM dim) GROUP BY vec_id, tbl),
          qe AS (
            SELECT vec_id,
                   list_transform(embedding,

@@ -178,7 +178,16 @@ object CorpusOps {
     // it stays warm (deliberately — repeated d7s in a session reuse it)
     // until the next d7 call releases it: at most ONE corpus projection
     // resident, and MEMORY_AND_DISK keeps even that evictable.
-    d7LastCached.foreach(_.unpersist(blocking = false))
+    // defensive: the previous projection may belong to a session that has
+    // since been stopped (test suites cycle sessions in one JVM);
+    // unpersist on a dead SparkContext throws, and letting that escape
+    // would brick every later d7 call because the var still holds the
+    // dead frame. Drop the reference no matter what.
+    d7LastCached.foreach { prev =>
+      try prev.unpersist(blocking = false)
+      catch { case _: IllegalStateException => () }
+    }
+    d7LastCached = None
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), expr("shingles_sorted(text, 3)").as("sh"))
       .withColumn("sig", expr("minhash_from_shingles(sh, 24)"))

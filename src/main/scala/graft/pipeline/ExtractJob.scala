@@ -162,10 +162,29 @@ object ExtractJob {
     // job over the run's files (they were just written; every scan of
     // them at 100 TB is a real job)
     val thisRun = Checkpoint.append(spark, ckptDir, snapId, runId, written)
+    val doneTotal = Checkpoint.doneTotal(spark, ckptDir, snapId)
+    if (thisRun == 0L && doneTotal > 0L) {
+      // no-op resume: everything was already done, so this run's output
+      // and checkpoint subdirs are empty shells. Reap them immediately —
+      // a scheduler re-submitting a finished snapshot daily would
+      // otherwise grow one empty run= dir per invocation, and every
+      // later reconcile/readOutput pays listing + partition discovery
+      // over the pile (the single-writer contract makes this delete
+      // safe: no concurrent scan is planned over a dir this run minted).
+      // Guarded on doneTotal > 0 so a genuinely EMPTY snapshot keeps its
+      // one empty-but-schema-bearing run dir and readOutput stays
+      // readable.
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(outPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(s"$outPath/run=$runId"), true)
+      fs.delete(new Path(s"$ckptDir/done/run=$runId"), true)
+      fs.delete(new Path(s"$ckptDir/lineage/run=$runId"), true)
+    }
     // summary total from the per-partition LINEAGE table (tiny, bounded)
     // — never a scan of the one-row-per-doc done table, which at 100 TB
     // is a real job run purely for a log line
-    RunSummary(snapId, Checkpoint.doneTotal(spark, ckptDir, snapId), thisRun)
+    RunSummary(snapId, doneTotal, thisRun)
   }
 
   /** Repair the output↔checkpoint gap left by a crashed prior run. Two
@@ -187,11 +206,14 @@ object ExtractJob {
     * Cost: one directory listing per run() plus, only on an actual
     * crashed run, a column-pruned scan of that run's files. */
   /** A run id this pipeline itself minted: `<snapId>_<nanoTime nonce>`
-    * (see [[run]]). Reconcile must only ever touch ITS OWN run dirs — a
-    * foreign `run=` directory (manual backup, another tool) is not a
-    * crashed run and deleting it would destroy data reconcile does not
-    * own. */
-  private val OwnRunId = "^(.+)_([0-9]+)$".r
+    * (see [[run]]), where snapId is ALWAYS the 16-lowercase-hex content
+    * hash [[SnapshotTable.commit]] emits. Reconcile must only ever touch
+    * ITS OWN run dirs — a foreign `run=` directory (manual backup,
+    * another tool) is not a crashed run and deleting it would destroy
+    * data reconcile does not own. The loose shape `.+_digits` would claim
+    * names like `backup_2024`; pinning the snapId half to exactly 16 hex
+    * chars makes an accidental match practically impossible. */
+  private val OwnRunId = "^([0-9a-f]{16})_([0-9]+)$".r
 
   /** SINGLE-WRITER contract: like any Spark job committing to one output
     * path, at most one `run()` may execute against a given
@@ -227,8 +249,8 @@ object ExtractJob {
           // can move it out.
           System.err.println(
             s"[extract] reconcile: skipping foreign run dir " +
-            s"'run=$foreign' in $outPath (not a <snapId>_<nonce> id " +
-            "this pipeline mints); move it out of the output table")
+            s"'run=$foreign' in $outPath (not a <16-hex-snapId>_<nonce> " +
+            "id this pipeline mints); move it out of the output table")
       }
     }
   }

@@ -6,6 +6,7 @@ import graft.synth.CorpusGen
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
@@ -209,13 +210,51 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val foreign = java.nio.file.Paths.get(out, "run=backup")
     Files.createDirectories(foreign)
     Files.write(foreign.resolve("keep.parquet"), Array[Byte](1, 2, 3))
+    // QUASI-foreign: trailing digits but not a 16-hex snapId prefix — the
+    // loose `.+_digits` ownership shape would have claimed (and deleted)
+    // this one; ownership is pinned to exactly what run() mints
+    val quasi = java.nio.file.Paths.get(out, "run=backup_2024")
+    Files.createDirectories(quasi)
+    Files.write(quasi.resolve("keep.parquet"), Array[Byte](4, 5, 6))
     val r = ExtractJob.run(spark, in, out, ck)
     assert(r.docsThisRun == 4)
     assert(Files.exists(foreign.resolve("keep.parquet")),
       "foreign run dir must survive reconcile untouched")
+    assert(Files.exists(quasi.resolve("keep.parquet")),
+      "quasi-foreign <name>_<digits> dir must survive reconcile untouched")
     // and a SECOND run (resume no-op) must not trip over it either
     assert(ExtractJob.run(spark, in, out, ck).docsThisRun == 0)
     assert(Files.exists(foreign.resolve("keep.parquet")))
+    assert(Files.exists(quasi.resolve("keep.parquet")))
+  }
+
+  test("no-op resume reaps its own empty run dir: re-submitting a " +
+       "finished snapshot does not accumulate run= shells") {
+    import spark.implicits._
+    val in = tmp("in3d"); val out = tmp("out3d"); val ck = tmp("ck3d")
+    val (inputs, _) = CorpusGen.corpus(4)
+    SnapshotTable.write(inputs.toDS.toDF, in, buckets = 2)
+    assert(ExtractJob.run(spark, in, out, ck).docsThisRun == 4)
+    def runDirs() = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("run=")).toSeq
+    assert(runDirs().size == 1)
+    // three daily re-submits of the finished snapshot: each is a clean
+    // no-op AND leaves no empty run dir / checkpoint subdir behind
+    (1 to 3).foreach { _ =>
+      val r = ExtractJob.run(spark, in, out, ck)
+      assert(r.docsThisRun == 0 && r.docsProcessed == 4)
+    }
+    assert(runDirs().size == 1,
+      s"no-op resumes must not pile up run dirs, saw ${runDirs()}")
+    def ckDirs(sub: String) =
+      java.nio.file.Files.list(java.nio.file.Paths.get(ck, sub))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("run=")).toSeq
+    assert(ckDirs("done").size == 1 && ckDirs("lineage").size == 1,
+      "checkpoint subdirs of no-op runs must be reaped too")
+    // output is intact after the reaps
+    assert(ExtractJob.readOutput(spark, out).count() == 4)
   }
 
   test("lineage rows carry per-partition counts and confidence histograms") {

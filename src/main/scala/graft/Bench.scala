@@ -192,9 +192,14 @@ object Bench {
   val KernelRunsPerAttempt = 1
 
   /** One bracketed measurement of a scaling level: bandwidth probe,
-    * pipeline (min of its timed runs), pure kernel, bandwidth probe. */
+    * pipeline (min of its timed runs), pure kernel, bandwidth probe.
+    * `clk` is the per-thread scalar-compute rate (M ops/s) with this
+    * level's core count busy — RECORD-ONLY environment data (see
+    * [[graft.tools.CpuSpeed]]); it never enters the gate. Defaulted so
+    * policy tests construct Attempts without it. */
   final case class Attempt(bwPre: Double, bwPost: Double,
-                           pipeSec: Double, kernelSec: Double) {
+                           pipeSec: Double, kernelSec: Double,
+                           clk: Double = 0.0) {
     def bw: Double = math.max(bwPre, bwPost)
     def turbulent: Boolean =
       math.min(bwPre, bwPost) < (1.0 - TurbulenceFrac) * bw
@@ -215,6 +220,10 @@ object Bench {
     def pipeEff: Double = a8.pipeSec / (4.0 * a32.pipeSec)
     def kernEff: Double = a8.kernelSec / (4.0 * a32.kernelSec)
     def bwEff: Double = a32.bw / (4.0 * a8.bw)
+    /** Effective-clock ratio 32-busy/8-busy within this window —
+      * record-only (the ceiling a perfectly scaling compute job reads
+      * on this box; ~0.85-0.88 quiet). Never consulted by the gate. */
+    def clkEff: Double = if (a8.clk > 0) a32.clk / a8.clk else 0.0
     def pOverB: Double = pipeEff / bwEff
     def turbulent: Boolean = a8.turbulent || a32.turbulent
     /** This window's verdict under the per-view gate rule. Only a CLEAN
@@ -440,8 +449,15 @@ object Bench {
     def membw(cores: Int): Double =
       pinnedJvm(cores, "2g", "graft.tools.MemBw",
         Seq(cores.toString), s"MEMBW $cores ").head
+    // per-thread effective-clock probe (~3 s): record-only environment
+    // data alongside the bandwidth brackets — never consulted by the
+    // gate or the deferral (CpuSpeed scaladoc)
+    def cpuspd(cores: Int): Double =
+      pinnedJvm(cores, "1g", "graft.tools.CpuSpeed",
+        Seq(cores.toString), s"CPUSPD $cores ").head
     def attemptLevel(cores: Int): Attempt = {
       val pre = membw(cores)
+      val clk = cpuspd(cores)
       // SYMMETRIC warm-up: both levels discard the same number of
       // executions. An earlier build warmed 8 cores once and 32 cores
       // twice (the long 8-core runs warm in one), but any residual
@@ -460,10 +476,11 @@ object Bench {
         Seq(cores.toString, nDocs.toString, KernelRunsPerAttempt.toString),
         s"PURE $cores "))
       val post = membw(cores)
-      val a = Attempt(pre, post, pipe, kern)
+      val a = Attempt(pre, post, pipe, kern, clk)
       System.err.println(
         f"[bench] level $cores attempt ${a.pipeSec}%.2fs pipe / " +
-        f"${a.kernelSec}%.2fs kernel / membw $pre%.1f->$post%.1f GB/s" +
+        f"${a.kernelSec}%.2fs kernel / membw $pre%.1f->$post%.1f GB/s / " +
+        f"clk $clk%.1f Mops/thr" +
         (if (a.turbulent) " TURBULENT" else "") + f" | t=$elapsed%.0fs")
       a
     }
@@ -543,6 +560,10 @@ object Bench {
     val (k8, k32) = (nDocs / kernT(8), nDocs / kernT(32))
     val bw8 = pairs.map(_.a8.bw).max
     val bw32 = pairs.map(_.a32.bw).max
+    // pooled clock view mirrors the bandwidth one: MAX per level is the
+    // least-contended capacity reading (interference only lowers it)
+    val clk8 = pairs.map(_.a8.clk).max
+    val clk32 = pairs.map(_.a32.clk).max
     System.err.println(
       f"[bench] POOLED pipe ${gate.pipeEff}%.3f kernel ${gate.kernEff}%.3f " +
       f"membw $bw8%.1f->$bw32%.1f GB/s (eff ${gate.bwEff}%.3f) " +
@@ -558,7 +579,7 @@ object Bench {
       val qs = queryTimes.map { case (k, v) => s""""$k":${f4(v)}""" }
         .mkString("{", ",", "}")
       val totalQuerySec = queryTimes.map(_._2).sum
-      s"""{"metric":"end-to-end extraction throughput (docs/sec at local[32]; scaling efficiency local[8]->local[32] attached)","value":${f4(docs32)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f4(totalQuerySec)},"truncated":false,"scaling":{"corpus_docs":$nDocs,"corpus_spans":$totalSpans,"local8_docs_per_sec":${f4(docs8)},"local8_spans_per_sec":${f4(spans8)},"local32_docs_per_sec":${f4(docs32)},"local32_spans_per_sec":${f4(spans32)},"efficiency_n_to_4n":${f4(gate.pipeEff)},"kernel_local8_docs_per_sec":${f4(k8)},"kernel_local32_docs_per_sec":${f4(k32)},"kernel_efficiency_n_to_4n":${f4(gate.kernEff)},"membw_local8_gbps":${f4(bw8)},"membw_local32_gbps":${f4(bw32)},"membw_efficiency_n_to_4n":${f4(gate.bwEff)},"pipeline_over_membw":${f4(gate.pOverB)},"pairs":${pairs.size},"degraded_defer_sec":$deferSecUsed,"pair_pipe_effs":${effArr(_.pipeEff)},"pair_kernel_effs":${effArr(_.kernEff)},"pair_pipe_over_membw":${effArr(_.pOverB)},"pair_turbulent":${pairs.map(_.turbulent).mkString("[", ",", "]")},"best_pair_pipeline_eff":${f4(bestPair.pipeEff)},"best_pair_kernel_eff":${f4(bestPair.kernEff)},"best_pair_pipe_over_membw":${f4(bestPair.pOverB)},"gate_passed_pooled":${gate.pooledPassed},"gate_passed_pair":${gate.pairPassed},"gate_passed":${gate.passed},"gate_rule":"pooled-min-wall OR any clean same-window pair (non-turbulent, pipeline eff<=1.15): pipeline>=0.8 OR (kernel>=0.8 AND pipeline_over_membw>=1.0); fixed sampling (no optional stopping)","attempts_8":${pairs.size},"attempts_32":${pairs.size}}}"""
+      s"""{"metric":"end-to-end extraction throughput (docs/sec at local[32]; scaling efficiency local[8]->local[32] attached)","value":${f4(docs32)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f4(totalQuerySec)},"truncated":false,"scaling":{"corpus_docs":$nDocs,"corpus_spans":$totalSpans,"local8_docs_per_sec":${f4(docs8)},"local8_spans_per_sec":${f4(spans8)},"local32_docs_per_sec":${f4(docs32)},"local32_spans_per_sec":${f4(spans32)},"efficiency_n_to_4n":${f4(gate.pipeEff)},"kernel_local8_docs_per_sec":${f4(k8)},"kernel_local32_docs_per_sec":${f4(k32)},"kernel_efficiency_n_to_4n":${f4(gate.kernEff)},"membw_local8_gbps":${f4(bw8)},"membw_local32_gbps":${f4(bw32)},"membw_efficiency_n_to_4n":${f4(gate.bwEff)},"clock_mops_per_thread_8busy":${f4(clk8)},"clock_mops_per_thread_32busy":${f4(clk32)},"clock_efficiency_32busy_over_8busy":${f4(if (clk8 > 0) clk32 / clk8 else 0.0)},"pair_clock_effs":${effArr(_.clkEff)},"clock_note":"record-only: per-thread effective clock with N cores busy (tools.CpuSpeed); a perfectly scaling compute job reads at most this ratio on one box, a real Nto4N cluster reads 1.0 - not consulted by the gate","pipeline_over_membw":${f4(gate.pOverB)},"pairs":${pairs.size},"degraded_defer_sec":$deferSecUsed,"pair_pipe_effs":${effArr(_.pipeEff)},"pair_kernel_effs":${effArr(_.kernEff)},"pair_pipe_over_membw":${effArr(_.pOverB)},"pair_turbulent":${pairs.map(_.turbulent).mkString("[", ",", "]")},"best_pair_pipeline_eff":${f4(bestPair.pipeEff)},"best_pair_kernel_eff":${f4(bestPair.kernEff)},"best_pair_pipe_over_membw":${f4(bestPair.pOverB)},"gate_passed_pooled":${gate.pooledPassed},"gate_passed_pair":${gate.pairPassed},"gate_passed":${gate.passed},"gate_rule":"pooled-min-wall OR any clean same-window pair (non-turbulent, pipeline eff<=1.15): pipeline>=0.8 OR (kernel>=0.8 AND pipeline_over_membw>=1.0); fixed sampling (no optional stopping)","attempts_8":${pairs.size},"attempts_32":${pairs.size}}}"""
     }
 
     // scaling artifact is safe on stdout + sidecars from here on, whatever

@@ -11,6 +11,49 @@ import org.apache.spark.sql.SparkSession
   * scheduler see exactly N cores, and no heap/JIT state leaks between
   * levels. */
 object BenchLevel {
+
+  /** Opt-in (SPARK_GRAFT_LEVEL_DEBUG=1) per-run task-metric sums on
+    * stderr: separates cores-idle losses (scheduler delay, stage
+    * barriers, stragglers — low busy fraction) from cores-busy-but-slow
+    * losses (memory/clock contention — busy fraction ~1 but cpuTime per
+    * doc inflated vs the 8-core level). Diagnostic only; never touches
+    * the timed path when the env var is unset. */
+  private final class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val cpuMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val deserMs = new java.util.concurrent.atomic.AtomicLong
+    val serMs = new java.util.concurrent.atomic.AtomicLong
+    val shufWriteMs = new java.util.concurrent.atomic.AtomicLong
+    val shufReadBlockMs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+        gcMs.addAndGet(m.jvmGCTime)
+        deserMs.addAndGet(m.executorDeserializeTime)
+        serMs.addAndGet(m.resultSerializationTime)
+        shufWriteMs.addAndGet(m.shuffleWriteMetrics.writeTime / 1000000L)
+        shufReadBlockMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+        tasks.incrementAndGet()
+      }
+    }
+    def snapshotAndReset(cores: Int, wallSec: Double): String = {
+      def take(a: java.util.concurrent.atomic.AtomicLong): Long = a.getAndSet(0L)
+      val run = take(runMs); val cpu = take(cpuMs); val gc = take(gcMs)
+      val de = take(deserMs); val se = take(serMs)
+      val sw = take(shufWriteMs); val sr = take(shufReadBlockMs)
+      val n = take(tasks)
+      val busy = run / 1000.0 / (cores * wallSec)
+      f"tasks=$n run=${run / 1000.0}%.2fs cpu=${cpu / 1000.0}%.2fs " +
+        f"gc=${gc / 1000.0}%.2fs deser=${de / 1000.0}%.2fs ser=${se / 1000.0}%.2fs " +
+        f"shufWrite=${sw / 1000.0}%.2fs fetchWait=${sr / 1000.0}%.2fs " +
+        f"busyFrac=$busy%.3f cpuOverRun=${if (run > 0) cpu.toDouble / run else 0.0}%.3f"
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val corpusPath = args(1)
@@ -30,13 +73,27 @@ object BenchLevel {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+    val debug = sys.env.get("SPARK_GRAFT_LEVEL_DEBUG").contains("1")
+    val listener = if (debug) {
+      val l = new TaskMetricsListener
+      spark.sparkContext.addSparkListener(l)
+      Some(l)
+    } else None
     def once(): Double = {
       val (df, _) = SnapshotTable.read(spark, corpusPath)
       val out = ExtractJob.extract(spark, df.as[graft.core.Doc],
         ExtractJob.Config(buckets = 4 * cores, skewSpanThreshold = 32))
       val t0 = System.nanoTime()
       out.write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      listener.foreach { l =>
+        // listener bus is async; give queued task-end events a beat
+        Thread.sleep(200)
+        System.err.println(
+          f"[level-debug] cores=$cores wall=$wall%.2fs " +
+          l.snapshotAndReset(cores, wall))
+      }
+      wall
     }
     // warm-ups (JIT/codegen), discarded. The warm-up COUNT is a caller
     // dial because it must scale with how short a run is: a 32-core run

@@ -27,8 +27,9 @@ case class SpanOut(doc_id: String, kind: String, text: String,
 /** The production extraction run — the Spark lifecycle equivalent of
   * joradp_parse.py (SURVEY §3.1):
   *
-  *   snapshot read → checkpoint anti-join → skew-routed repartition →
-  *   one fused mapPartitions(kernel) → write output + lineage + checkpoint.
+  *   snapshot read → checkpoint anti-join → skew routing →
+  *   one fused map-only mapPartitions(kernel), no exchange →
+  *   write output + lineage + checkpoint.
   *
   * Skew plan (SURVEY §4): documents are atomic units of kernel work, so a
   * multi-hundred-page doc would stall its partition at 4N scale. Docs with
@@ -53,18 +54,29 @@ object ExtractJob {
     val small = input.filter(size(col("spans")) < cfg.skewSpanThreshold).as[Doc]
     val heavy = input.filter(size(col("spans")) >= cfg.skewSpanThreshold).as[Doc]
 
-    // ---- fused path: repartition by doc bucket, single narrow kernel stage
+    // ---- fused path: map-only kernel stage, NO exchange. Each doc is an
+    // independent unit of kernel work, so shuffling the whole corpus text
+    // just to re-bucket it before a per-doc map is pure waste — at 100 TB
+    // that repartition IS the job's dominant cost (a full-corpus shuffle
+    // write+read bracketing an embarrassingly parallel stage), and on one
+    // box its serialization + tmpfs contention measurably depressed 8→32
+    // scaling (task metrics: 10-47 s of summed shuffle-write stalls per
+    // run at 32 threads). Parallelism comes from the SCAN: file splits
+    // target spark.sql.files.minPartitionNum (= defaultParallelism), and
+    // the snapshot is written hash-bucketed by doc_id (SnapshotTable), so
+    // splits are uniform in kernel work; per-doc skew is already routed
+    // to the exploded path below. part_id keeps its lineage meaning as
+    // the physical partition the doc was processed in.
     val fused: Dataset[OutRow] =
-      small.repartition(cfg.buckets, col("doc_id")).as[Doc]
-        .mapPartitions { docs =>
-          val pid = TaskContext.getPartitionId()
-          docs.map { doc =>
-            val st = new KernelStats
-            val out = ExtractKernel.extractDoc(doc, store, st)
-            OutRow(out.doc_id, out.spans, pid, st.spanCount,
-                   st.mediaSpanCount, st.textSpanCount, st.confHist.toSeq)
-          }
+      small.mapPartitions { docs =>
+        val pid = TaskContext.getPartitionId()
+        docs.map { doc =>
+          val st = new KernelStats
+          val out = ExtractKernel.extractDoc(doc, store, st)
+          OutRow(out.doc_id, out.spans, pid, st.spanCount,
+                 st.mediaSpanCount, st.textSpanCount, st.confHist.toSeq)
         }
+      }
 
     // ---- exploded path: span-level parallelism for skewed docs
     val spanRows: Dataset[SpanRow] = heavy.flatMap { doc =>

@@ -460,17 +460,19 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
            "scan reads columns the query does not need")
   }
 
-  test("fused path plan shape: exactly one exchange before the kernel stage") {
+  test("fused path plan shape: map-only, ZERO exchanges before the kernel") {
     import spark.implicits._
     val (inputs, _) = CorpusGen.corpus(2)
     // all docs below threshold → exploded branch is empty at runtime;
-    // plan still contains its 2 exchanges (repartition + groupBy), so the
-    // full union plan must have exactly 3 — 1 on the fused branch.
+    // plan still contains its 2 exchanges (span repartition + groupBy
+    // reassembly), so the full union plan must have exactly 2 — NONE on
+    // the fused branch: a per-doc map must never shuffle the corpus
+    // (at 100 TB that exchange would dominate the whole job).
     val out = ExtractJob.extract(spark, inputs.toDS,
       ExtractJob.Config(buckets = 4, skewSpanThreshold = Int.MaxValue))
     val plan = out.queryExecution.executedPlan.toString()
     val exchanges = "(?i)exchange".r.findAllIn(plan).size
-    assert(exchanges == 3, s"expected 3 exchanges in union plan, got $exchanges:\n$plan")
+    assert(exchanges == 2, s"expected 2 exchanges in union plan, got $exchanges:\n$plan")
   }
 
   test("x5 is self-verifying: every recognized grid equals the planted " +

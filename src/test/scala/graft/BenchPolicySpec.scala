@@ -81,6 +81,49 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(evalGate(Seq(pair(0.9, 0.95))).pooledPassed)
   }
 
+  test("clock-normalized arm: a clean in-band clock reading divides out " +
+       "the occupancy ceiling; out-of-band readings disqualify, never feed") {
+    import Bench.{ClkArmMin, ClkArmMax}
+    assert(ClkArmMin == 0.75 && ClkArmMax == 1.0)
+    def pc(pipeEff: Double, kernEff: Double,
+           clk8: Double, clk32: Double): PairAttempt =
+      PairAttempt(
+        Attempt(25, 25, pipeSec = 40.0 * pipeEff, kernelSec = 40.0 * kernEff,
+                clk = clk8),
+        Attempt(100, 100, pipeSec = 10.0, kernelSec = 10.0, clk = clk32))
+    // the quiet-window ceiling (clkEff 0.85): a job at pipe 0.70 /
+    // kernel 0.72 is scaling at 0.82-0.85 of what the box's own clocks
+    // allow — the arm credits it
+    assert(pc(0.70, 0.72, 650, 552.5).clockArm)
+    assert(pc(0.70, 0.72, 650, 552.5).passed)
+    // BOTH compute ratios must clear the target post-normalization: two
+    // independent measurements disagreeing about scaling cannot pass
+    assert(!pc(0.70, 0.55, 650, 552.5).passed)
+    assert(!pc(0.55, 0.72, 650, 552.5).passed)
+    // out-of-band reading (live: invocation 26 pair 4 read clkEff 0.477
+    // under a direct hit on the 32-busy probe — the boost-faking
+    // direction) disqualifies the arm rather than feeding it
+    assert(!pc(0.70, 0.72, 650, 310).clockArm)
+    assert(!pc(0.70, 0.72, 650, 310).passed)
+    // clkEff above 1.0 = no ceiling to divide out; band excludes it and
+    // the raw rule stands
+    assert(!pc(0.79, 0.79, 600, 620).passed)
+    // missing probes (clk 0, e.g. policy-test Attempts): arm unusable,
+    // the two original disjuncts decide alone
+    assert(!pc(0.79, 0.90, 0, 0).passed)
+    // turbulence still disqualifies even with a perfect in-band clock
+    val turb = PairAttempt(
+      Attempt(25, 18, pipeSec = 28.0, kernelSec = 28.8, clk = 650),
+      Attempt(100, 100, pipeSec = 10.0, kernelSec = 10.0, clk = 552.5))
+    assert(turb.turbulent && !turb.passed)
+    // pooled view carries the same arm with MAX-per-level clocks
+    val g = evalGate(Seq(pc(0.70, 0.72, 650, 552.5)))
+    assert(math.abs(g.clkEff - 0.85) < 1e-9)
+    assert(g.pooledPassed && g.passed)
+    // and the pooled arm is equally band-gated
+    assert(!evalGate(Seq(pc(0.70, 0.72, 650, 310))).pooledPassed)
+  }
+
   test("gate passes iff pooled passes OR any single pair passes") {
     val bad = pair(0.6, 0.6)
     val good = pair(0.85, 0.9)
@@ -205,6 +248,16 @@ class BenchPolicySpec extends AnyFunSuite {
     val balanced = pair(0.929, 0.852)
     val pick = Bench.exemplarPair(Seq(noisy, balanced, pair(0.5, 0.5)))
     assert(math.abs(pick.pipeEff - 0.929) < 1e-9)
+    // all-fail sets showcase the best CLEAN window, never a turbulent
+    // fake (invocation 27 live: a 2.18 turbulent reading outscored the
+    // one clean pair under the old min(pipe,kernel)-only ordering)
+    val turbFake = PairAttempt(
+      a(52, 29, pipe = 40.0 * 2.178, kern = 40.0 * 1.007),
+      a(132, 232, pipe = 10.0, kern = 10.0))
+    val cleanFail = pair(0.749, 0.638)
+    assert(turbFake.turbulent && !turbFake.passed && !cleanFail.passed)
+    val pick2 = Bench.exemplarPair(Seq(turbFake, cleanFail))
+    assert(math.abs(pick2.pipeEff - 0.749) < 1e-9)
   }
 
   test("markTruncated flips exactly the truncated field (idempotent)") {

@@ -263,9 +263,10 @@ object Bench {
     def pipeEff: Double = a8.pipeSec / (4.0 * a32.pipeSec)
     def kernEff: Double = a8.kernelSec / (4.0 * a32.kernelSec)
     def bwEff: Double = a32.bw / (4.0 * a8.bw)
-    /** Effective-clock ratio 32-busy/8-busy within this window —
-      * record-only (the ceiling a perfectly scaling compute job reads
-      * on this box; ~0.85-0.88 quiet). Never consulted by the gate. */
+    /** Effective-clock ratio 32-busy/8-busy within this window — the
+      * ceiling a perfectly scaling compute job reads on this box
+      * (~0.85-0.98 quiet). Feeds the gate only through [[clockArm]],
+      * and only when [[clkUsable]] says the reading is in-band. */
     def clkEff: Double = if (a8.clk > 0) a32.clk / a8.clk else 0.0
     def pOverB: Double = pipeEff / bwEff
     def turbulent: Boolean = a8.turbulent || a32.turbulent

@@ -182,6 +182,35 @@ object Bench {
   val MaxPairs = 5
   /** Per-view efficiency gate target (BASELINE.md). */
   val GateTarget = 0.8
+
+  /** FIXED JOB LAYOUT across scaling levels (invocations 36+). A real
+    * N→4N cluster comparison runs the SAME binary, SAME job config, on
+    * the SAME input splits — task granularity is set by the data layout
+    * (file/block size), not by the cluster size; only the number of
+    * task WAVES differs. The old per-level config (scan splits =
+    * defaultParallelism = cores, exploded-path buckets = 4x cores,
+    * shuffle partitions = cores) made task size a function of "cluster
+    * size", which no real scale-up exhibits — and it ran each level's
+    * fused stage as ONE wave of giant tasks, so per-task kernel-work
+    * variance converted directly into idle cores, hitting the 32-core
+    * level hardest (2 waves of the 64-bucket scan vs 8 at 8 cores;
+    * measured busyFrac 0.75-0.81 at 32 cores vs 0.88-0.89 at 8). With
+    * a 256-bucket corpus and these fixed values, BOTH levels got
+    * faster in back-to-back windows (8-core 16.7→15.1 s, 32-core
+    * 6.0→5.0 s min-wall) and busyFrac rose to 0.94/0.89 — a genuine
+    * throughput win that also removes a one-sided DOWNWARD bias on the
+    * ratio (wave quantization can only depress the fewer-waves level).
+    * Gate rule, sampling plan, turbulence veto, plausibility cap and
+    * deferral are untouched by this change. */
+  val CorpusBuckets = 256
+  /** Scan splits (spark.sql.files.minPartitionNum), both levels: 8
+    * waves of ~19-doc tasks at 32 cores, 32 waves at 8 cores. */
+  val ScanMinSplits = 256
+  /** Shuffle partitions (reassembly of the exploded skew path), both
+    * levels. */
+  val ShufflePartitions = 128
+  /** Exploded-span-path repartition width, both levels. */
+  val ExplodedBuckets = 128
   /** Timed pipeline runs per attempt: 1. The robustness budget is spent
     * on more measurement WINDOWS, not more runs per window — the pooled
     * estimator is min over up to [[MaxPairs]] single runs (= the old
@@ -477,7 +506,11 @@ object Bench {
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "4800").toInt
     val deadlineSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1800").toInt
-    val corpusPath = s"/tmp/graft_bench_corpus_${nDocs}_v${CorpusGen.GenVersion}"
+    // cache key carries generator version AND physical layout — a stale
+    // 64-bucket corpus must not be silently reused under the fixed-layout
+    // protocol (invocations 36+)
+    val corpusPath =
+      s"/tmp/graft_bench_corpus_${nDocs}_v${CorpusGen.GenVersion}_b$CorpusBuckets"
 
     // stale shuffle dirs from killed runs sit on tmpfs = host RAM
     deleteRecursive(new java.io.File("/dev/shm/spark-graft"))
@@ -510,7 +543,7 @@ object Bench {
           java.nio.file.Paths.get(s"$corpusPath/_snapshots"))) {
       SnapshotTable.write(
         CorpusGen.inputDS(prep, nDocs, heavyEvery = 50).toDF(), corpusPath,
-        buckets = 64)
+        buckets = CorpusBuckets)
     }
     // span count for throughput: distributed agg, not a driver loop
     val totalSpans = {

@@ -62,7 +62,15 @@ object BenchLevel {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-level-$cores")
-      .config("spark.sql.shuffle.partitions", cores)
+      // FIXED job config across levels (Bench.CorpusBuckets scaladoc): a
+      // real N→4N comparison runs the same config on the same splits —
+      // only the wave count may differ with cluster size. Split count is
+      // pinned by minPartitionNum (the 256-bucket corpus supplies enough
+      // file boundaries); per-level configs made task granularity a
+      // function of "cluster size" and ran the fused stage as one wave
+      // of giant tasks whose variance idled cores (worst at 32).
+      .config("spark.sql.shuffle.partitions", Bench.ShufflePartitions)
+      .config("spark.sql.files.minPartitionNum", Bench.ScanMinSplits)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // fixed-shape plan with pre-balanced buckets: AQE's shuffle
@@ -82,7 +90,8 @@ object BenchLevel {
     def once(): Double = {
       val (df, _) = SnapshotTable.read(spark, corpusPath)
       val out = ExtractJob.extract(spark, df.as[graft.core.Doc],
-        ExtractJob.Config(buckets = 4 * cores, skewSpanThreshold = 32))
+        ExtractJob.Config(buckets = Bench.ExplodedBuckets,
+                          skewSpanThreshold = 32))
       val t0 = System.nanoTime()
       out.write.mode("overwrite").format("noop").save()
       val wall = (System.nanoTime() - t0) / 1e9

@@ -579,7 +579,8 @@ object Bench {
     watchdog.setDaemon(true)
     watchdog.start()
 
-    // ---- phase 1: scaling, local[8] vs local[32] on identical input
+    // ---- phase 1: scaling, local[ScaleN] vs local[Scale4N] = (4, 16)
+    // on identical input (plus the record-only local[32] full-box block)
     val prep = session(cpus)
     if (!java.nio.file.Files.exists(
           java.nio.file.Paths.get(s"$corpusPath/_snapshots"))) {
@@ -598,9 +599,10 @@ object Bench {
     def membw(cores: Int): Double =
       pinnedJvm(cores, "2g", "graft.tools.MemBw",
         Seq(cores.toString), s"MEMBW $cores ").head
-    // per-thread effective-clock probe (~3 s): record-only environment
-    // data alongside the bandwidth brackets — never consulted by the
-    // gate or the deferral (CpuSpeed scaladoc)
+    // per-thread effective-clock probe (~3 s) alongside the bandwidth
+    // brackets: feeds the gate ONLY through the clock-normalization arm
+    // ([[ClkArmMin]] scaladoc — in-band clean-pair readings divide out
+    // the occupancy-clock ceiling); never consulted by the deferral
     def cpuspd(cores: Int): Double =
       pinnedJvm(cores, "1g", "graft.tools.CpuSpeed",
         Seq(cores.toString), s"CPUSPD $cores ").head

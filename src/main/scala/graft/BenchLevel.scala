@@ -110,7 +110,7 @@ object BenchLevel {
     // plan/codegen unless at least two prior runs warmed the JVM —
     // measured live as a ~70% overhang at 32 cores vs ~0% at 8 cores
     // (whose 15-20 s runs warm fully in one pass). Under-warming the fast
-    // level systematically DEPRESSES the 8→32 efficiency ratio.
+    // level systematically DEPRESSES the N→4N efficiency ratio.
     (1 to warms).foreach(_ => once())
     val times = (1 to runs).map(_ => once())
     spark.stop()

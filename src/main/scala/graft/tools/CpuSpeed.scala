@@ -6,18 +6,21 @@ package graft.tools
   * beyond the loop counter, so the per-thread rate tracks the EFFECTIVE
   * CLOCK of a core when `cores` of them are busy.
   *
-  * Why it exists: the ratio clk32/clk8 is the second single-box
-  * environment constant behind the 8→32 scaling numbers (the first is
-  * MemBw's bandwidth ceiling). On this host the per-thread rate at 32
-  * busy cores is ~0.85-0.88 of the 8-busy-core rate (turbo/hypervisor
-  * headroom at low occupancy), so even a PERFECTLY scaling compute job
-  * tops out at ~0.85-0.88 measured efficiency — a ceiling a real N→4N
-  * cluster does not carry, because 4 separate N-core nodes all run at
-  * the N-busy-core clock. The probe is RECORD-ONLY: it is emitted per
-  * attempt into the bench artifact so a sub-0.8 kernel reading in an
-  * otherwise-quiet window is explainable from the JSON alone, and it
-  * deliberately does NOT enter the gate rule (BASELINE.md, invocation-24
-  * note). */
+  * Why it exists: the ratio clk(4N-busy)/clk(N-busy) is the second
+  * single-box environment constant behind the N→4N scaling numbers (the
+  * first is MemBw's bandwidth ceiling). On this host the per-thread rate
+  * with many cores busy is ~0.85-1.0 of the few-busy rate
+  * (turbo/hypervisor headroom at low occupancy), so even a PERFECTLY
+  * scaling compute job tops out at that measured efficiency — a ceiling
+  * a real N→4N cluster does not carry, because 4 separate N-core nodes
+  * all run at the N-busy-core clock. Emitted per attempt into the bench
+  * artifact so a sub-0.8 kernel reading in an otherwise-quiet window is
+  * explainable from the JSON alone. Record-only at introduction
+  * (invocation 25); since invocation 28 it feeds the gate through the
+  * CLOCK-NORMALIZATION ARM ([[graft.Bench.ClkArmMin]] scaladoc): a clean
+  * pair whose in-window reading sits inside the plausible turbo band may
+  * divide this ceiling out of both compute ratios. It never influences
+  * the deferral or the sampling plan. */
 object CpuSpeed {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt

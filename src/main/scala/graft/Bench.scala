@@ -154,6 +154,11 @@ object Bench {
       mainClass) ++ args
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
+    // the executor-JVM proxy mode (BenchLevel scaladoc) runs levels as
+    // local-cluster workers, whose executor-launch command builder
+    // resolves the Spark jars via SPARK_HOME
+    pb.environment().put("SPARK_HOME",
+      sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
     val p = pb.start()
     liveChild = p
     val out =
@@ -361,6 +366,14 @@ object Bench {
     def clockArm: Boolean =
       clkUsable && pipeEff / clkEff >= GateTarget &&
       kernEff / clkEff >= GateTarget
+    /** The clock-arm disjunct AS THE GATE CONSUMES IT: the arm can only
+      * carry a pair that is also clean (non-turbulent, inside the
+      * plausibility cap — see [[passed]]). The artifact emits THIS, not
+      * the raw disjunct: invocation 43's pair 1 read raw-clockArm true
+      * on a kernel ratio of 1.638 that the cap had already rejected,
+      * and the per-pair field was misread as a pass flag (round-4
+      * ADVICE). */
+    def clockArmGated: Boolean = clockArm && !turbulent && plausible
     def passed: Boolean =
       !turbulent && plausible &&
       (pipeEff >= GateTarget || (kernEff >= GateTarget && pOverB >= 1.0) ||
@@ -752,7 +765,7 @@ object Bench {
       val qs = queryTimes.map { case (k, v) => s""""$k":${f4(v)}""" }
         .mkString("{", ",", "}")
       val totalQuerySec = queryTimes.map(_._2).sum
-      s"""{"metric":"end-to-end extraction throughput (docs/sec at local[32]; scaling efficiency local[4]->local[16] = N->4N dedicated physical cores attached; 16->32 SMT-crossing block record-only)","value":${f4(docsFullBox)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f4(totalQuerySec)},"truncated":false,"scaling":{"corpus_docs":$nDocs,"corpus_spans":$totalSpans,"scale_n_cores":$ScaleN,"scale_4n_cores":$Scale4N,"local4_docs_per_sec":${f4(docsN)},"local4_spans_per_sec":${f4(spansN)},"local16_docs_per_sec":${f4(docs4N)},"local16_spans_per_sec":${f4(spans4N)},"efficiency_n_to_4n":${f4(gate.pipeEff)},"kernel_local4_docs_per_sec":${f4(kN)},"kernel_local16_docs_per_sec":${f4(k4N)},"kernel_efficiency_n_to_4n":${f4(gate.kernEff)},"membw_local4_gbps":${f4(bwN)},"membw_local16_gbps":${f4(bw4N)},"membw_efficiency_n_to_4n":${f4(gate.bwEff)},"clock_mops_per_thread_4busy":${f4(clkN)},"clock_mops_per_thread_16busy":${f4(clk4N)},"clock_efficiency_16busy_over_4busy":${f4(if (clkN > 0) clk4N / clkN else 0.0)},"pair_clock_effs":${effArr(_.clkEff)},"clock_note":"per-thread effective clock with N cores busy (tools.CpuSpeed); a perfectly scaling compute job reads at most this ratio on one box, a real Nto4N cluster reads 1.0 - the gate's clock-normalized arm divides it out, gated to clean pairs with the reading inside the plausible turbo band [0.75,1.0]","levels_note":"scaling levels are (4,16): every measured thread owns a dedicated physical host core at BOTH levels, as executor cores on a real Nto4N cluster do - this guest's 32 vCPUs are ~16 physical cores x2 SMT, so an (8,32) ratio multiplies the host SMT yield (~1.55x) into the job's scaling; the crossing stays visible in the fullbox block (BASELINE.md round-4 SMT-boundary section)","pipeline_over_membw":${f4(gate.pOverB)},"pairs":${pairs.size},"degraded_defer_sec":$deferSecUsed,"pair_pipe_effs":${effArr(_.pipeEff)},"pair_kernel_effs":${effArr(_.kernEff)},"pair_pipe_over_membw":${effArr(_.pOverB)},"pair_turbulent":${pairs.map(_.turbulent).mkString("[", ",", "]")},"pair_clock_arm":${pairs.map(_.clockArm).mkString("[", ",", "]")},"best_pair_pipeline_eff":${f4(bestPair.pipeEff)},"best_pair_kernel_eff":${f4(bestPair.kernEff)},"best_pair_pipe_over_membw":${f4(bestPair.pOverB)},"gate_passed_pooled":${gate.pooledPassed},"gate_passed_pair":${gate.pairPassed},"gate_passed":${gate.passed},"gate_rule":"pooled-min-wall OR any clean same-window pair (non-turbulent, eff<=1.15): pipeline>=0.8 OR (kernel>=0.8 AND pipeline_over_membw>=1.0) OR (clkEff in [0.75,1.0] AND pipeline/clkEff>=0.8 AND kernel/clkEff>=0.8); fixed sampling (no optional stopping)","attempts_n":${pairs.size},"attempts_4n":${pairs.size},"fullbox":{"local32_docs_per_sec":${f4(docsFullBox)},"local32_spans_per_sec":${f4(spansFullBox)},"kernel_local32_docs_per_sec":${f4(kFullBox)},"membw_local32_gbps":${f4(fullBox.bw)},"clock_mops_per_thread_32busy":${f4(fullBox.clk)},"pipe_eff_16_to_32":${f4(smtPipe)},"kernel_eff_16_to_32":${f4(smtKern)},"turbulent":${fullBox.turbulent},"note":"record-only: 16->32 on this box adds a second hardware thread per physical core (host SMT), not more cores - a real Nto4N cluster never crosses this boundary; quiet-window reading ~0.76-0.80"}}}"""
+      s"""{"metric":"end-to-end extraction throughput (docs/sec at local[32]; scaling efficiency local[4]->local[16] = N->4N dedicated physical cores attached; 16->32 SMT-crossing block record-only)","value":${f4(docsFullBox)},"unit":"docs/sec","queries":$qs,"sf":"$sfDir","total_query_sec":${f4(totalQuerySec)},"truncated":false,"scaling":{"corpus_docs":$nDocs,"corpus_spans":$totalSpans,"exec_jvm":${sys.env.get("SPARK_GRAFT_EXEC_JVM").contains("1")},"scale_n_cores":$ScaleN,"scale_4n_cores":$Scale4N,"local4_docs_per_sec":${f4(docsN)},"local4_spans_per_sec":${f4(spansN)},"local16_docs_per_sec":${f4(docs4N)},"local16_spans_per_sec":${f4(spans4N)},"efficiency_n_to_4n":${f4(gate.pipeEff)},"kernel_local4_docs_per_sec":${f4(kN)},"kernel_local16_docs_per_sec":${f4(k4N)},"kernel_efficiency_n_to_4n":${f4(gate.kernEff)},"membw_local4_gbps":${f4(bwN)},"membw_local16_gbps":${f4(bw4N)},"membw_efficiency_n_to_4n":${f4(gate.bwEff)},"clock_mops_per_thread_4busy":${f4(clkN)},"clock_mops_per_thread_16busy":${f4(clk4N)},"clock_efficiency_16busy_over_4busy":${f4(if (clkN > 0) clk4N / clkN else 0.0)},"pair_clock_effs":${effArr(_.clkEff)},"clock_note":"per-thread effective clock with N cores busy (tools.CpuSpeed); a perfectly scaling compute job reads at most this ratio on one box, a real Nto4N cluster reads 1.0 - the gate's clock-normalized arm divides it out, gated to clean pairs with the reading inside the plausible turbo band [0.75,1.0]","levels_note":"scaling levels are (4,16): every measured thread owns a dedicated physical host core at BOTH levels, as executor cores on a real Nto4N cluster do - this guest's 32 vCPUs are ~16 physical cores x2 SMT, so an (8,32) ratio multiplies the host SMT yield (~1.55x) into the job's scaling; the crossing stays visible in the fullbox block (BASELINE.md round-4 SMT-boundary section)","pipeline_over_membw":${f4(gate.pOverB)},"pairs":${pairs.size},"degraded_defer_sec":$deferSecUsed,"pair_pipe_effs":${effArr(_.pipeEff)},"pair_kernel_effs":${effArr(_.kernEff)},"pair_pipe_over_membw":${effArr(_.pOverB)},"pair_turbulent":${pairs.map(_.turbulent).mkString("[", ",", "]")},"pair_clock_arm":${pairs.map(_.clockArmGated).mkString("[", ",", "]")},"best_pair_pipeline_eff":${f4(bestPair.pipeEff)},"best_pair_kernel_eff":${f4(bestPair.kernEff)},"best_pair_pipe_over_membw":${f4(bestPair.pOverB)},"gate_passed_pooled":${gate.pooledPassed},"gate_passed_pair":${gate.pairPassed},"gate_passed":${gate.passed},"gate_rule":"pooled-min-wall OR any clean same-window pair (non-turbulent, eff<=1.15): pipeline>=0.8 OR (kernel>=0.8 AND pipeline_over_membw>=1.0) OR (clkEff in [0.75,1.0] AND pipeline/clkEff>=0.8 AND kernel/clkEff>=0.8); fixed sampling (no optional stopping)","attempts_n":${pairs.size},"attempts_4n":${pairs.size},"fullbox":{"local32_docs_per_sec":${f4(docsFullBox)},"local32_spans_per_sec":${f4(spansFullBox)},"kernel_local32_docs_per_sec":${f4(kFullBox)},"membw_local32_gbps":${f4(fullBox.bw)},"clock_mops_per_thread_32busy":${f4(fullBox.clk)},"pipe_eff_16_to_32":${f4(smtPipe)},"kernel_eff_16_to_32":${f4(smtKern)},"turbulent":${fullBox.turbulent},"note":"record-only: 16->32 on this box adds a second hardware thread per physical core (host SMT), not more cores - a real Nto4N cluster never crosses this boundary; same-window quiet probes read ~0.76-0.80, recorded fullbox crossings spread ~0.69-0.84 across round-4 invocations"}}}"""
     }
 
     // scaling artifact is safe on stdout + sidecars from here on, whatever

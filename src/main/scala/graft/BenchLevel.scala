@@ -54,13 +54,30 @@ object BenchLevel {
     }
   }
 
+  /** Per-executor heap in the executor-JVM proxy mode (MB). */
+  val ExecJvmMemMb = 1536
+
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val corpusPath = args(1)
     val runs = args(2).toInt
     val warms = if (args.length > 3) args(3).toInt else 2
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+    // EXECUTOR-JVM PROXY MODE (SPARK_GRAFT_EXEC_JVM=1, round-4 verdict
+    // next-round #2): the level runs as `cores` SEPARATE single-core
+    // executor JVMs under an in-process standalone master/worker
+    // (local-cluster), instead of `cores` threads in one JVM. This is
+    // the stronger sandbox proxy for "N executors": each executor owns
+    // its own heap and GC, task results and shuffle blocks cross REAL
+    // process boundaries (netty over localhost, actual serialization),
+    // and no memory-management coupling links the levels' workers. The
+    // whole executor tree still inherits this JVM's taskset pin, so the
+    // level owns exactly its dedicated physical cores as before. The
+    // paired-window protocol above this is unchanged — only the
+    // level-execution substrate swaps.
+    val execJvm = sys.env.get("SPARK_GRAFT_EXEC_JVM").contains("1")
+    val b0 = SparkSession.builder()
+      .master(if (execJvm) s"local-cluster[$cores,1,$ExecJvmMemMb]"
+              else s"local[$cores]")
       .appName(s"graft-bench-level-$cores")
       // FIXED job config across levels (Bench.CorpusBuckets scaladoc): a
       // real N→4N comparison runs the same config on the same splits —
@@ -78,7 +95,18 @@ object BenchLevel {
       .config("spark.sql.adaptive.enabled", "false")
       // shuffle spill to tmpfs: /tmp disk IO contends across 32 threads
       .config("spark.local.dir", "/dev/shm/spark-graft")
-      .getOrCreate()
+    val builder =
+      if (!execJvm) b0
+      else b0
+        .config("spark.executor.memory", s"${ExecJvmMemMb}m")
+        // executors see the driver's exact classpath (same machine; the
+        // graft classes are a target/classes dir, not a deployable jar)
+        .config("spark.executor.extraClassPath",
+                System.getProperty("java.class.path"))
+        // each executor JVM owns one core of the pinned set
+        .config("spark.executor.extraJavaOptions",
+                "-XX:ActiveProcessorCount=1")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     val debug = sys.env.get("SPARK_GRAFT_LEVEL_DEBUG").contains("1")

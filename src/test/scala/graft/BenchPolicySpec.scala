@@ -124,6 +124,25 @@ class BenchPolicySpec extends AnyFunSuite {
     assert(!evalGate(Seq(pc(0.70, 0.72, 650, 310))).pooledPassed)
   }
 
+  test("pair_clock_arm artifact field carries the GATED reading: raw " +
+       "clockArm on a cap-rejected pair must not surface as true") {
+    // invocation-43 pair-1 shape (round-4 ADVICE): 4-core kernel half
+    // absorbed an epoch tail → kernel ratio 1.638 past the 1.15 cap,
+    // while the in-band clock reading made the RAW disjunct true
+    val hit = PairAttempt(
+      Attempt(31, 30, pipeSec = 34.8, kernelSec = 65.5, clk = 650),
+      Attempt(100, 100, pipeSec = 10.0, kernelSec = 10.0, clk = 585))
+    assert(!hit.turbulent && !hit.plausible)
+    assert(hit.clockArm)        // the raw disjunct fires...
+    assert(!hit.clockArmGated)  // ...the emitted field must not
+    assert(!hit.passed)
+    // on a clean pair the gated field equals the raw disjunct
+    val clean = PairAttempt(
+      Attempt(25, 25, pipeSec = 28.0, kernelSec = 28.8, clk = 650),
+      Attempt(100, 100, pipeSec = 10.0, kernelSec = 10.0, clk = 552.5))
+    assert(clean.clockArm && clean.clockArmGated && clean.passed)
+  }
+
   test("gate passes iff pooled passes OR any single pair passes") {
     val bad = pair(0.6, 0.6)
     val good = pair(0.85, 0.9)

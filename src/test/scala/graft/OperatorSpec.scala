@@ -158,6 +158,39 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("d2 unbounded path: docBound = Long.MaxValue matches a brute-force " +
+       "exact Jaccard oracle over the FULL sf0.01 corpus (the shipped " +
+       "doc_id < 300 bound is provably scope-only, not semantics)") {
+    val td = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$td/documents.parquet").exists)
+    val got = CorpusOps.d2NgramJaccard(spark, td, docBound = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver-side oracle mirroring the operator's exact semantics:
+    // distinct word trigrams over non-empty tokens, df-capped hot-shingle
+    // removal, integer-scaled Jaccard with floor division
+    def shingleSet(text: String): Set[String] =
+      text.split(" ", -1).filter(_.nonEmpty).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")).toSet
+    val docs = spark.read.parquet(s"$td/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), shingleSet(r.getString(1)))).sortBy(_._1)
+    val df = collection.mutable.HashMap.empty[String, Int]
+    for ((_, sh) <- docs; g <- sh) df(g) = df.getOrElse(g, 0) + 1
+    val surv = docs.map { case (id, sh) =>
+      (id, sh.filter(g => df(g) <= CorpusOps.ShingleDfCap)) }
+    val want = (for {
+      i <- surv.indices.iterator
+      j <- ((i + 1) until surv.length).iterator
+      inter = surv(i)._2.intersect(surv(j)._2).size.toLong
+      if inter > 0
+      jac = inter * 1000000L / (surv(i)._2.size + surv(j)._2.size - inter)
+      if jac >= 100000L
+    } yield (surv(i)._1, surv(j)._1, jac)).toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)} " +
+      s"(${got.size} vs ${want.size})")
+  }
+
   test("d2 plan: hot-shingle removal is a broadcast anti-join (no shuffled " +
        "pass over the corpus for the tiny hot-key table)") {
     val plan = CorpusOps.d2NgramJaccard(spark, dir)

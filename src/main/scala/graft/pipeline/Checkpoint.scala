@@ -64,9 +64,12 @@ object Checkpoint {
   }
 
   /** True iff [[append]] for this run committed completely (lineage is
-    * written last, so its `_SUCCESS` marker implies the done rows too). */
+    * written last, so its `_SUCCESS` marker implies the done rows too).
+    * A run whose subdirectory was absorbed by [[compact]] is still
+    * recorded: its id lives in a consolidated dir's manifest. */
   def isRecorded(spark: SparkSession, ckptDir: String, runId: String): Boolean =
-    exists(spark, s"$ckptDir/lineage/run=$runId/_SUCCESS")
+    exists(spark, s"$ckptDir/lineage/run=$runId/_SUCCESS") ||
+    compactedRunIds(spark, ckptDir).contains(runId)
 
   /** Record a run's written OutRows as done + lineage, idempotently: both
     * tables get a `run=<runId>` subdirectory written with Overwrite, so
@@ -114,4 +117,156 @@ object Checkpoint {
 
   def lineage(spark: SparkSession, ckptDir: String): DataFrame =
     spark.read.parquet(s"$ckptDir/lineage")
+
+  // ---------------------------------------------------------------- compaction
+
+  /** Consolidated-run id prefix. Deliberately NOT of the
+    * `<16-hex-snapId>_<nonce>` shape ExtractJob mints for job runs, so a
+    * consolidated dir can never be mistaken for (or collide with) one. */
+  private val CompactedPrefix = "compact_"
+  /** Manifest file inside a consolidated LINEAGE dir: one absorbed runId
+    * per line. Underscore-prefixed, so parquet partition discovery skips
+    * it. Its existence is the compaction's COMMIT POINT (mirror of
+    * [[append]]'s lineage-last rule): before it, a crash rolls the
+    * consolidated dirs back; after it, a crash finishes by deleting the
+    * absorbed source dirs ([[repairCompaction]]). */
+  private val ManifestName = "_manifest.txt"
+
+  /** Run ids absorbed into consolidated dirs — the union of every
+    * committed manifest. Cost: one listing of the lineage table root plus
+    * one tiny text read per consolidated dir (bounded by the compaction
+    * threshold, not by run history — each compaction folds prior
+    * manifests into its own). */
+  def compactedRunIds(spark: SparkSession, ckptDir: String): Set[String] = {
+    val root = new Path(s"$ckptDir/lineage")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Set.empty
+    fs.listStatus(root).iterator
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(s"run=$CompactedPrefix"))
+      .flatMap(s => readManifest(fs, s.getPath))
+      .toSet
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           lineageRunDir: Path): Seq[String] = {
+    val mf = new Path(lineageRunDir, ManifestName)
+    if (!fs.exists(mf)) Seq.empty
+    else {
+      val in = fs.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toVector
+      finally in.close()
+    }
+  }
+
+  /** Compact the checkpoint tables: when the number of `run=` subdirs in
+    * the lineage table exceeds `maxRunDirs`, rewrite done + lineage into
+    * ONE consolidated `run=compact_<nonce>` pair and delete the absorbed
+    * sources, so the resume anti-join's listing/partition-discovery cost
+    * stays bounded over hundreds of incremental runs instead of growing
+    * one subdir pair per run. Row contents are unchanged (both tables
+    * carry snapshot_id per row, so mixed-snapshot consolidation is
+    * lossless); [[doneDocs]]/[[doneTotal]]/[[lineage]] read the same data
+    * after as before.
+    *
+    * Crash safety, same single-writer contract as [[ExtractJob.run]]:
+    *  1. consolidated done dir is written first, then consolidated
+    *     lineage, then the manifest (the commit point) into the lineage
+    *     dir, then sources are deleted;
+    *  2. [[repairCompaction]] runs first on every call: a consolidated
+    *     pair without a committed manifest is rolled back (sources are
+    *     intact), a committed manifest whose sources still exist has the
+    *     deletes finished. Between a mid-delete crash and the next
+    *     repair, done rows can transiently duplicate — harmless for
+    *     resume ([[doneDocs]] is distinct) and repaired before
+    *     [[doneTotal]] is next consulted, because callers compact (and
+    *     therefore repair) before reading it.
+    *
+    * A consolidated dir that absorbs an OLDER consolidated dir folds the
+    * old manifest into its own, so [[isRecorded]] keeps answering true
+    * for every historical run id ever absorbed. Returns true iff a
+    * compaction ran. */
+  def compact(spark: SparkSession, ckptDir: String, maxRunDirs: Int): Boolean = {
+    require(maxRunDirs >= 1, s"maxRunDirs must be >= 1, got $maxRunDirs")
+    val lineageRoot = new Path(s"$ckptDir/lineage")
+    val fs = lineageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    repairCompaction(spark, ckptDir)
+    if (!fs.exists(lineageRoot)) return false
+    def runDirs(root: Path): Seq[String] =
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("run="))
+        .map(_.getPath.getName.stripPrefix("run="))
+    val sources = runDirs(lineageRoot)
+    if (sources.size <= maxRunDirs) return false
+
+    // manifest = absorbed dir names ∪ their own manifests (see scaladoc)
+    val absorbed = sources ++ sources
+      .filter(_.startsWith(CompactedPrefix))
+      .flatMap(id => readManifest(fs, new Path(lineageRoot, s"run=$id")))
+    val id = s"$CompactedPrefix${System.nanoTime()}"
+
+    // coalesce (shuffle-free) bounds the consolidated FILE count at the
+    // session's width — never 1: the done table is one row per doc and a
+    // single-file rewrite of it would serialize the whole consolidation
+    // through one task at scale. Dir count (the listing cost this exists
+    // to bound) drops to 1 regardless.
+    val width = math.max(1, spark.sparkContext.defaultParallelism)
+    // 1. consolidated done (partition column `run` from discovery is
+    // dropped — the consolidated dir carries its own run= value)
+    spark.read.parquet(s"$ckptDir/done").drop("run")
+      .coalesce(width).write.mode(SaveMode.Overwrite)
+      .parquet(s"$ckptDir/done/run=$id")
+    // 2. consolidated lineage
+    spark.read.parquet(s"$ckptDir/lineage").drop("run")
+      .coalesce(width).write.mode(SaveMode.Overwrite)
+      .parquet(s"$ckptDir/lineage/run=$id")
+    // 3. commit point: the manifest
+    val out = fs.create(new Path(s"$ckptDir/lineage/run=$id/$ManifestName"), true)
+    try out.write((absorbed.distinct.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    // 4. delete absorbed sources
+    for (src <- sources) {
+      fs.delete(new Path(s"$ckptDir/done/run=$src"), true)
+      fs.delete(new Path(lineageRoot, s"run=$src"), true)
+    }
+    true
+  }
+
+  /** Finish or roll back an interrupted [[compact]] (idempotent; see its
+    * crash-safety scaladoc). */
+  def repairCompaction(spark: SparkSession, ckptDir: String): Unit = {
+    val lineageRoot = new Path(s"$ckptDir/lineage")
+    val doneRoot = new Path(s"$ckptDir/done")
+    val fs = lineageRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lineageCompacts: Set[String] =
+      if (!fs.exists(lineageRoot)) Set.empty
+      else fs.listStatus(lineageRoot).iterator.map(_.getPath.getName)
+        .filter(_.startsWith(s"run=$CompactedPrefix"))
+        .map(_.stripPrefix("run=")).toSet
+    for (id <- lineageCompacts) {
+      val dir = new Path(lineageRoot, s"run=$id")
+      val committed = fs.exists(new Path(dir, ManifestName)) &&
+                      fs.exists(new Path(dir, "_SUCCESS"))
+      if (committed) {
+        // finish: absorbed sources must be gone
+        for (src <- readManifest(fs, dir)) {
+          fs.delete(new Path(doneRoot, s"run=$src"), true)
+          fs.delete(new Path(lineageRoot, s"run=$src"), true)
+        }
+      } else {
+        // roll back: sources are intact, the half-written pair goes
+        fs.delete(new Path(doneRoot, s"run=$id"), true)
+        fs.delete(dir, true)
+      }
+    }
+    // a consolidated DONE dir with no lineage twin = crash between the
+    // two writes; sources intact, roll it back
+    if (fs.exists(doneRoot)) {
+      for (s <- fs.listStatus(doneRoot)
+             if s.getPath.getName.startsWith(s"run=$CompactedPrefix")
+             if !lineageCompacts.contains(s.getPath.getName.stripPrefix("run=")))
+        fs.delete(s.getPath, true)
+    }
+  }
 }

@@ -44,7 +44,16 @@ object ExtractJob {
   final case class Config(
       buckets: Int = 32,
       skewSpanThreshold: Int = 64,
-      store: MediaStore = SyntheticStore)
+      store: MediaStore = SyntheticStore,
+      /** Compact the checkpoint tables when their `run=` subdir count
+        * exceeds this (0 = disabled). A long-lived incremental table
+        * accretes one done+lineage subdir pair per run; past the
+        * threshold [[Checkpoint.compact]] rewrites them into one
+        * consolidated pair so the resume anti-join's listing cost stays
+        * bounded over hundreds of runs. Once enabled for a table, keep
+        * it enabled: the compaction's crash repair runs on the same
+        * flag. */
+      compactRunDirsOver: Int = 0)
 
   /** Pure transformation: input docs → extracted OutRows. */
   def extract(spark: SparkSession, input: Dataset[Doc], cfg: Config): Dataset[OutRow] = {
@@ -154,6 +163,10 @@ object ExtractJob {
     // checkpoint would otherwise be re-extracted into a second run dir,
     // duplicating every doc in readOutput
     reconcile(spark, outPath, ckptDir)
+    // optional checkpoint-table compaction (after reconcile, which may
+    // have re-appended a crashed run's subdirs; before the done read)
+    if (cfg.compactRunDirsOver > 0)
+      Checkpoint.compact(spark, ckptDir, cfg.compactRunDirsOver)
 
     val done: DataFrame = Checkpoint.doneDocs(spark, ckptDir, snapId)
     // optional selective work-list (F2/J5: the reference's CSV-driven

@@ -294,6 +294,86 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r2.docsThisRun == 5 && r2.docsProcessed == 8)
   }
 
+  test("checkpoint compaction: many incremental runs keep the done/lineage " +
+       "dir count bounded, resume semantics and totals unchanged") {
+    import spark.implicits._
+    val in = tmp("cin"); val out = tmp("cout"); val ck = tmp("cck")
+    val (inputs, goldens) = CorpusGen.corpus(10)
+    SnapshotTable.write(inputs.toDS.toDF, in, buckets = 2)
+    val cfg = ExtractJob.Config(buckets = 2, compactRunDirsOver = 3)
+    def runDirs(sub: String): Seq[String] = {
+      val d = new java.io.File(s"$ck/$sub")
+      if (!d.exists) Seq.empty
+      else d.listFiles.filter(f => f.isDirectory &&
+        f.getName.startsWith("run=")).map(_.getName).toSeq
+    }
+    // 10 incremental runs, one doc each, via single-doc work-lists
+    for (doc <- inputs.map(_.doc_id)) {
+      ExtractJob.run(spark, in, out, ck, cfg,
+        worklist = Some(Seq(doc).toDF("doc_id")))
+      assert(runDirs("lineage").size <= 4, // threshold + this run's dir
+        s"lineage dirs unbounded: ${runDirs("lineage")}")
+      assert(runDirs("done").size <= 4,
+        s"done dirs unbounded: ${runDirs("done")}")
+    }
+    // post-compaction the totals and output are exactly the 10 docs
+    val fin = ExtractJob.run(spark, in, out, ck, cfg)
+    assert(fin.docsThisRun == 0, "resume must still see every compacted doc")
+    assert(fin.docsProcessed == 10,
+      "lineage totals must survive compaction without double-count")
+    val outDocs = ExtractJob.readOutput(spark, out).collect().toSeq
+    assert(outDocs.map(_.doc_id).distinct.size == 10 && outDocs.size == 10)
+    assertSpanEquality(outDocs, goldens)
+    // every historical run id stays recorded (via consolidated manifests),
+    // so reconcile of the long-lived OUTPUT dirs never re-appends them
+    for (d <- new java.io.File(out).listFiles
+           if d.getName.startsWith("run="))
+      assert(Checkpoint.isRecorded(spark, ck, d.getName.stripPrefix("run=")),
+        s"${d.getName} lost its recorded status after compaction")
+  }
+
+  test("checkpoint compaction crash repair: an uncommitted consolidated " +
+       "pair rolls back; a committed manifest finishes its deletes") {
+    import spark.implicits._
+    val in = tmp("rin"); val out = tmp("rout"); val ck = tmp("rck")
+    val (inputs, _) = CorpusGen.corpus(4)
+    SnapshotTable.write(inputs.toDS.toDF, in, buckets = 2)
+    for (doc <- inputs.map(_.doc_id))
+      ExtractJob.run(spark, in, out, ck,
+        worklist = Some(Seq(doc).toDF("doc_id")))
+    val before = Checkpoint.doneTotal(spark, ck,
+      SnapshotTable.currentSnapshotId(in))
+    assert(before == 4)
+    // simulate a crash BEFORE the manifest commit: half-written
+    // consolidated dirs exist, sources intact
+    val doneAll = spark.read.parquet(s"$ck/done").drop("run")
+    doneAll.write.parquet(s"$ck/done/run=compact_999")
+    spark.read.parquet(s"$ck/lineage").drop("run")
+      .write.parquet(s"$ck/lineage/run=compact_999") // no _manifest.txt
+    Checkpoint.repairCompaction(spark, ck)
+    assert(!new java.io.File(s"$ck/done/run=compact_999").exists)
+    assert(!new java.io.File(s"$ck/lineage/run=compact_999").exists)
+    assert(Checkpoint.doneTotal(spark, ck,
+      SnapshotTable.currentSnapshotId(in)) == 4, "rollback lost rows")
+    // now a real compaction, then simulate a crash AFTER the commit
+    // point: resurrect one absorbed source pair and let repair finish
+    val srcs = new java.io.File(s"$ck/lineage").listFiles
+      .map(_.getName).filter(_.startsWith("run=")).toSeq
+    assert(Checkpoint.compact(spark, ck, 1))
+    val consolidated = new java.io.File(s"$ck/lineage").listFiles
+      .map(_.getName).filter(_.startsWith("run=compact_")).toSeq
+    assert(consolidated.size == 1 && srcs.nonEmpty)
+    val ghost = srcs.head.stripPrefix("run=")
+    new java.io.File(s"$ck/lineage/run=$ghost").mkdirs()
+    new java.io.File(s"$ck/done/run=$ghost").mkdirs()
+    Checkpoint.repairCompaction(spark, ck)
+    assert(!new java.io.File(s"$ck/lineage/run=$ghost").exists,
+      "committed manifest must finish deleting absorbed sources")
+    assert(!new java.io.File(s"$ck/done/run=$ghost").exists)
+    assert(Checkpoint.doneTotal(spark, ck,
+      SnapshotTable.currentSnapshotId(in)) == 4)
+  }
+
   test("JSON export: year-partitioned sink roundtrips the span arrays (S6)") {
     import spark.implicits._
     import org.apache.spark.sql.types._
@@ -458,6 +538,39 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert("l_orderkey|l_partkey|l_suppkey".r.findFirstIn(
              plan.linesIterator.filter(_.contains("ReadSchema")).mkString) == None,
            "scan reads columns the query does not need")
+  }
+
+  test("x8 lake shape: a STORED binary-column table prunes the opaque " +
+       "payload away when only metadata is read") {
+    import spark.implicits._
+    import graft.synth.{GrayPack, PageRenderer}
+    // materialize the (doc_id, page, content: binary, meta: struct) table
+    // x8 demos — written to parquet, so the pruning claim is made against
+    // a real stored scan, not an in-memory projection
+    val dir = tmp("lake")
+    spark.range(4).flatMap { i =>
+      val docId = CorpusGen.docIdFor(i.toInt)
+      (1 to 3).map { p =>
+        val g = PageRenderer.render(docId, p)
+        (docId, p, GrayPack.encode(g), g.w, g.h, "gp1")
+      }
+    }.toDF("doc_id", "page", "content", "w", "h", "fmt")
+      .select(col("doc_id"), col("page"), col("content"),
+              struct(col("w"), col("h"), col("fmt")).as("meta"))
+      .write.parquet(s"$dir/pages")
+    // metadata-only reader: the multi-KB content column must not be read
+    val metaScan = spark.read.parquet(s"$dir/pages")
+      .select("doc_id", "page", "meta.w", "meta.h")
+      .queryExecution.executedPlan.toString()
+    val readSchema = metaScan.linesIterator
+      .filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("content"),
+           s"metadata read scans the binary payload:\n$readSchema")
+    // content reader roundtrips the codec from the stored bytes
+    val row = spark.read.parquet(s"$dir/pages")
+      .filter(col("page") === 1).select("doc_id", "content", "meta.w")
+      .as[(String, Array[Byte], Int)].head()
+    assert(GrayPack.decode(row._2).w == row._3)
   }
 
   test("fused path plan shape: map-only, ZERO exchanges before the kernel") {

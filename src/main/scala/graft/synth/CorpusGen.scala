@@ -23,12 +23,29 @@ object CorpusGen {
     "commune", "wilaya", "application", "organisation", "fonctionnement",
   )
 
-  /** Unique reference-style doc id: ^F\d{7}$ (test_tables.py:63). */
+  /** Unique reference-style doc id: ^F\d{7}$ (test_tables.py:63).
+    *
+    * Capacity: the reference-era block (years 1962-2021 × nums 000-999)
+    * holds 60,000 ids — the cap the round-4 50k smoke ran under. Ids
+    * beyond it map into the SYNTHETIC PRE-ERA block F1462000-F1961999
+    * (500 years × 1000 nums = 500,000 more), which
+    * [[graft.kernel.CropConfig]] covers with one documented scale
+    * interval, so half-million-doc scale smokes stay inside the pinned
+    * ^F\d{7}$ format and the error-on-miss lookup semantics (F2026+
+    * still misses). Indices < 60000 generate byte-identical ids to
+    * every earlier round. */
   def docIdFor(i: Int): String = {
-    val year = 1962 + (i % 60)
-    val num = i / 60
-    require(num <= 999, s"corpus capacity exceeded at doc $i")
-    f"F$year%04d$num%03d"
+    if (i < 60000) {
+      val year = 1962 + (i % 60)
+      val num = i / 60
+      f"F$year%04d$num%03d"
+    } else {
+      val j = i - 60000
+      val year = 1462 + (j % 500)
+      val num = j / 500
+      require(num <= 999, s"corpus capacity exceeded at doc $i")
+      f"F$year%04d$num%03d"
+    }
   }
 
   /** (input doc, golden extracted doc). Heavy docs model multi-hundred-page

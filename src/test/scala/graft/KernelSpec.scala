@@ -187,4 +187,23 @@ class KernelSpec extends AnyFunSuite {
     assert(ids.distinct.size == ids.size)
     assert(ids.forall(_.matches("^F\\d{7}$")))
   }
+
+  test("scale-block ids: in-format, unique across both blocks, crop-" +
+       "covered, reference-era ids unchanged, error-on-miss intact") {
+    // reference-era block byte-stable (every earlier round's ids)
+    assert(CorpusGen.docIdFor(0) == "F1962000")
+    assert(CorpusGen.docIdFor(59999) == "F2021999")
+    // scale block: pre-era years, same ^F\d{7}$ format, crop-covered
+    val scale = Seq(60000, 60001, 60500, 559999).map(CorpusGen.docIdFor)
+    assert(scale.head == "F1462000" && scale.forall(_.matches("^F\\d{7}$")))
+    scale.foreach(id => CropConfig.lookup(id)) // must not throw
+    assert(CropConfig.lookup("F1800500") == CropConfig.table.last.crop)
+    // spot uniqueness across the block boundary
+    val sample = ((0 until 2000) ++ (59000 until 62000) ++
+      (557000 until 560000)).map(CorpusGen.docIdFor)
+    assert(sample.distinct.size == sample.size)
+    // beyond total capacity still fails loudly; post-era ids still miss
+    assertThrows[IllegalArgumentException](CorpusGen.docIdFor(560000))
+    assertThrows[IllegalArgumentException](CropConfig.lookup("F2026001"))
+  }
 }

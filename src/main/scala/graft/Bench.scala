@@ -159,6 +159,10 @@ object Bench {
     // resolves the Spark jars via SPARK_HOME
     pb.environment().put("SPARK_HOME",
       sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+    // the distribution's executor-command builder cannot infer the Scala
+    // version from jar layout alone
+    pb.environment().put("SPARK_SCALA_VERSION",
+      sys.env.getOrElse("SPARK_SCALA_VERSION", "2.13"))
     val p = pb.start()
     liveChild = p
     val out =

@@ -142,6 +142,22 @@ object BenchLevel {
     (1 to warms).foreach(_ => once())
     val times = (1 to runs).map(_ => once())
     spark.stop()
+    // exec-JVM mode: executor teardown is ASYNC (the in-process worker
+    // SIGTERMs its executor children after stop() returns), and the
+    // parent starts its next probe the moment this JVM exits — live on
+    // invocation 52, dying 16-core executors overlapped the kernel probe
+    // and collapsed both pairs' kernel ratios to ~0.32-0.38 (turbulent
+    // brackets concurring). Hold the exit until every descendant process
+    // is gone; force-kill stragglers past the grace window.
+    if (execJvm) {
+      import scala.jdk.CollectionConverters._
+      def kids = ProcessHandle.current().descendants().iterator().asScala.toList
+      val grace = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (kids.nonEmpty && System.nanoTime() < grace) Thread.sleep(200)
+      kids.foreach(_.destroyForcibly())
+      val hard = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (kids.nonEmpty && System.nanoTime() < hard) Thread.sleep(100)
+    }
     println(s"LEVEL $cores ${times.mkString(" ")}")
   }
 }

@@ -54,8 +54,12 @@ object BenchLevel {
     }
   }
 
+  /** Executor shape in the executor-JVM proxy mode: fixed 4-core
+    * executors (the common production shape), count scaling with the
+    * level (see the mode scaladoc in [[main]]). */
+  val ExecJvmCores = 4
   /** Per-executor heap in the executor-JVM proxy mode (MB). */
-  val ExecJvmMemMb = 1536
+  val ExecJvmMemMb = 4096
 
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
@@ -63,20 +67,32 @@ object BenchLevel {
     val runs = args(2).toInt
     val warms = if (args.length > 3) args(3).toInt else 2
     // EXECUTOR-JVM PROXY MODE (SPARK_GRAFT_EXEC_JVM=1, round-4 verdict
-    // next-round #2): the level runs as `cores` SEPARATE single-core
-    // executor JVMs under an in-process standalone master/worker
-    // (local-cluster), instead of `cores` threads in one JVM. This is
-    // the stronger sandbox proxy for "N executors": each executor owns
-    // its own heap and GC, task results and shuffle blocks cross REAL
-    // process boundaries (netty over localhost, actual serialization),
-    // and no memory-management coupling links the levels' workers. The
-    // whole executor tree still inherits this JVM's taskset pin, so the
-    // level owns exactly its dedicated physical cores as before. The
-    // paired-window protocol above this is unchanged — only the
-    // level-execution substrate swaps.
+    // next-round #2): the level runs as SEPARATE executor JVMs under an
+    // in-process standalone master/worker (local-cluster), instead of
+    // `cores` threads in one JVM. This is the stronger sandbox proxy
+    // for "N executors": each executor owns its own heap and GC, task
+    // results and shuffle blocks cross REAL process boundaries (netty
+    // over localhost, actual serialization), and no memory-management
+    // coupling links the levels' workers. The whole executor tree still
+    // inherits this JVM's taskset pin, so the level owns exactly its
+    // dedicated physical cores as before. The paired-window protocol
+    // above this is unchanged — only the level-execution substrate
+    // swaps.
+    //
+    // EXECUTOR SHAPE: fixed [[ExecJvmCores]]-core executors whose COUNT
+    // scales with the level — 1 executor at the 4-core level, 4 at 16
+    // (8 in the record-only fullbox) — because that is what "N vs 4N
+    // executors" means on a real cluster: per-executor hardware is
+    // IDENTICAL at both cluster sizes and only the executor count
+    // changes. Invocation 53 measured the alternative (per-CORE
+    // executors, count = cores): consistent clean-pair pipe 0.726-0.794
+    // with kernel 0.94-0.96 — scaling executor GRANULARITY alongside
+    // parallelism taxes the 4N level with 4x the per-task RPC dispatch
+    // and 16 tiny heaps, a confound no real N→4N comparison carries.
     val execJvm = sys.env.get("SPARK_GRAFT_EXEC_JVM").contains("1")
+    val nExec = math.max(1, cores / ExecJvmCores)
     val b0 = SparkSession.builder()
-      .master(if (execJvm) s"local-cluster[$cores,1,$ExecJvmMemMb]"
+      .master(if (execJvm) s"local-cluster[$nExec,$ExecJvmCores,$ExecJvmMemMb]"
               else s"local[$cores]")
       .appName(s"graft-bench-level-$cores")
       // FIXED job config across levels (Bench.CorpusBuckets scaladoc): a
@@ -103,9 +119,9 @@ object BenchLevel {
         // graft classes are a target/classes dir, not a deployable jar)
         .config("spark.executor.extraClassPath",
                 System.getProperty("java.class.path"))
-        // each executor JVM owns one core of the pinned set
+        // each executor JVM owns ExecJvmCores cores of the pinned set
         .config("spark.executor.extraJavaOptions",
-                "-XX:ActiveProcessorCount=1")
+                s"-XX:ActiveProcessorCount=$ExecJvmCores")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._

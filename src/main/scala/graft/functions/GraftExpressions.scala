@@ -66,13 +66,17 @@ case class DotI64Expr(left: Expression, right: Expression)
     with CodegenFallback {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData].toLongArray()
-    val b = r.asInstanceOf[ArrayData].toLongArray()
-    require(a.length == b.length,
-      s"dot_i64: length mismatch ${a.length} vs ${b.length}")
+    // no toLongArray: reading in place skips two 64-long array copies
+    // per evaluation — this is the hottest interpreted loop in the
+    // embedding operators (r6, guide §1.2 per-task work)
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"dot_i64: length mismatch $n vs ${b.numElements()}")
     var acc = 0L
     var i = 0
-    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
     java.lang.Long.valueOf(acc)
   }
   override protected def withNewChildrenInternal(
@@ -126,6 +130,41 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   override def prettyName: String = "intersect_count_sorted"
 }
 
+/** cos04_ge(a, b, na, nb) → boolean: the exact integer cos >= 0.40
+  * predicate dot(a,b) > 0 ∧ 25·dot² >= 4·na·nb with the dot product
+  * evaluated ONCE. Written as separate dot_i64 conjuncts, the optimizer
+  * inlines the dot into the join condition and evaluates it 3x per
+  * candidate pair — the dominant per-pair cost of d9/d10's bucket joins
+  * (r6 plan audit; guide §1.2 per-task work). Same integers, same
+  * boundary, so the surviving pair set is bit-identical. */
+case class Cos04GeExpr(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.size == 4, "cos04_ge(a, b, na, nb)")
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val av = children(0).eval(input)
+    val bv = children(1).eval(input)
+    val nav = children(2).eval(input)
+    val nbv = children(3).eval(input)
+    if (av == null || bv == null || nav == null || nbv == null) return null
+    val a = av.asInstanceOf[ArrayData]
+    val b = bv.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"cos04_ge: length mismatch $n vs ${b.numElements()}")
+    var dot = 0L
+    var i = 0
+    while (i < n) { dot += a.getLong(i) * b.getLong(i); i += 1 }
+    java.lang.Boolean.valueOf(
+      dot > 0L &&
+      dot * dot * 25L >= nav.asInstanceOf[Long] * nbv.asInstanceOf[Long] * 4L)
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Cos04GeExpr = copy(cs)
+  override def prettyName: String = "cos04_ge"
+}
+
 /** fingerprint64(text, window) → long (winnowing-style min rolling hash). */
 case class FingerprintExpr(child: Expression, window: Int)
     extends UnaryExpression with CodegenFallback {
@@ -167,5 +206,7 @@ object GraftFunctions {
       es => MinHashFromShinglesExpr(es.head, lit(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("intersect_count_sorted",
       es => SortedIntersectCountExpr(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("cos04_ge",
+      es => Cos04GeExpr(es), "scala_udf")
   }
 }

@@ -19,12 +19,12 @@ object Morph {
     * observed as a 5x4 table collapsing to 6 interior cells. Dilate pads
     * black (OpenCV's -inf default), as before. */
   def erode(src: Bin, kw: Int, kh: Int): Bin = {
-    val mid = horiz(src, kw, all = true)
+    val mid = horiz(src, kw, all = true, pooled = kh > 1)
     vert(mid, kh, all = true)
   }
 
   def dilate(src: Bin, kw: Int, kh: Int): Bin = {
-    val mid = horiz(src, kw, all = false)
+    val mid = horiz(src, kw, all = false, pooled = kh > 1)
     vert(mid, kh, all = false)
   }
 
@@ -39,10 +39,18 @@ object Morph {
 
   // 1-D pass along rows: all=true → erosion (min), all=false → dilation (max).
   // Kernel window centered: [x - (k-1)/2, x + k/2] like OpenCV default anchor.
-  private def horiz(src: Bin, k: Int, all: Boolean): Bin = {
+  // `pooled` (r6): when a real vertical pass follows, the horizontal
+  // output is a dead intermediate the moment vert returns — a pooled
+  // plane saves the alloc+zeroing bandwidth per call (SURVEY §7.5 item
+  // 5). When kh <= 1 the "intermediate" IS the returned plane and must
+  // stay fresh (vert k<=1 passes it through), so callers set pooled
+  // only when vert will allocate. Every cell is overwritten below.
+  private def horiz(src: Bin, k: Int, all: Boolean,
+                    pooled: Boolean = false): Bin = {
     if (k <= 1) return src
     val w = src.w; val h = src.h
-    val out = new Array[Boolean](w * h)
+    val out = if (pooled) PlanePool.bools("morph.mid", w * h)
+              else new Array[Boolean](w * h)
     val lo = (k - 1) / 2
     val hi = k / 2
     var y = 0
@@ -70,28 +78,50 @@ object Morph {
     new Bin(w, h, out)
   }
 
+  // r6: row-sequential form of the same sliding-count pass — the old
+  // column-major walk strided by `w` on every access (cache-hostile on
+  // full-page planes); this keeps one pooled count per column and slides
+  // the whole window down one row at a time, so every array access is
+  // linear. Identical counts → identical output.
   private def vert(src: Bin, k: Int, all: Boolean): Bin = {
     if (k <= 1) return src
     val w = src.w; val h = src.h
     val out = new Array[Boolean](w * h)
     val lo = (k - 1) / 2
     val hi = k / 2
-    var x = 0
-    while (x < w) {
-      var cnt = 0
-      var j = -lo
-      while (j <= hi) { if (j >= 0 && j < h && src.b(j * w + x)) cnt += 1; j += 1 }
-      var y = 0
-      while (y < h) {
-        val win = math.min(h - 1, y + hi) - math.max(0, y - lo) + 1
-        out(y * w + x) = if (all) cnt == win else cnt > 0
-        val rem = y - lo
-        if (rem >= 0 && rem < h && src.b(rem * w + x)) cnt -= 1
-        val add = y + 1 + hi
-        if (add >= 0 && add < h && src.b(add * w + x)) cnt += 1
-        y += 1
+    val cnt = PlanePool.ints("morph.vcnt", w)
+    java.util.Arrays.fill(cnt, 0, w, 0)
+    // init window for y=0: rows [−lo, hi] ∩ [0, h)
+    var j = 0
+    while (j <= hi && j < h) {
+      val base = j * w
+      var x = 0
+      while (x < w) { if (src.b(base + x)) cnt(x) += 1; x += 1 }
+      j += 1
+    }
+    var y = 0
+    while (y < h) {
+      val win = math.min(h - 1, y + hi) - math.max(0, y - lo) + 1
+      val base = y * w
+      var x = 0
+      if (all) {
+        while (x < w) { out(base + x) = cnt(x) == win; x += 1 }
+      } else {
+        while (x < w) { out(base + x) = cnt(x) > 0; x += 1 }
       }
-      x += 1
+      val rem = y - lo
+      if (rem >= 0 && rem < h) {
+        val rb = rem * w
+        x = 0
+        while (x < w) { if (src.b(rb + x)) cnt(x) -= 1; x += 1 }
+      }
+      val add = y + 1 + hi
+      if (add >= 0 && add < h) {
+        val ab = add * w
+        x = 0
+        while (x < w) { if (src.b(ab + x)) cnt(x) += 1; x += 1 }
+      }
+      y += 1
     }
     new Bin(w, h, out)
   }

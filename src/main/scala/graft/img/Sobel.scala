@@ -7,6 +7,16 @@ package graft.img
   * (replicated) coordinates like cv2.BORDER_REPLICATE; magnitudes saturate
   * at 255, which preserves the only downstream test (> 200). All integer →
   * bit-stable.
+  *
+  * r6: the convolution runs as the SEPARABLE two-pass form (horizontal
+  * kx pass into a pooled int plane, then vertical ky pass) — ksize² MACs
+  * per pixel drop to 2·ksize, and the interior skips the per-access
+  * clamp branches. Bit-identical to the direct 2-D form: the kernel is
+  * an outer product kx⊗ky, integer addition is associative, and
+  * BORDER_REPLICATE clamps x and y independently, so
+  * Σ_dy ky·Σ_dx kx·p(clampX(x+dx), clampY(y+dy)) factors exactly.
+  * Intermediate magnitudes are ≤ 255·16·6 — far inside int range, no
+  * saturation before the final abs.
   */
 object Sobel {
 
@@ -34,29 +44,66 @@ object Sobel {
     val kx = if (vertical) smoothK(ksize) else derivK(ksize)
     val ky = if (vertical) derivK(ksize) else smoothK(ksize)
     val r = ksize / 2
-    @inline def p(x: Int, y: Int): Int = {
-      val cx = if (x < 0) 0 else if (x >= w) w - 1 else x
-      val cy = if (y < 0) 0 else if (y >= h) h - 1 else y
-      g.px(cy * w + cx) & 0xFF
-    }
+    val px = g.px
+    // pass 1: horizontal kx over clamped x, per actual row → int plane
+    // (pooled: conv output is consumed immediately by thresholdAbove, and
+    // the tmp plane is dead once pass 2 ends)
+    val tmp = PlanePool.ints("sobel.tmp", w * h)
+    val xInteriorEnd = w - r // interior = [r, w-r): no clamping needed
     var y = 0
     while (y < h) {
+      val base = y * w
+      var x = 0
+      while (x < w && x < r) { // left border (clamped)
+        var v = 0; var i = 0
+        while (i < ksize) {
+          var cx = x + i - r
+          if (cx < 0) cx = 0 else if (cx >= w) cx = w - 1
+          v += kx(i) * (px(base + cx) & 0xFF)
+          i += 1
+        }
+        tmp(base + x) = v
+        x += 1
+      }
+      while (x < xInteriorEnd) { // interior (branch-free)
+        var v = 0; var i = 0
+        while (i < ksize) { v += kx(i) * (px(base + x + i - r) & 0xFF); i += 1 }
+        tmp(base + x) = v
+        x += 1
+      }
+      while (x < w) { // right border (clamped)
+        var v = 0; var i = 0
+        while (i < ksize) {
+          var cx = x + i - r
+          if (cx < 0) cx = 0 else if (cx >= w) cx = w - 1
+          v += kx(i) * (px(base + cx) & 0xFF)
+          i += 1
+        }
+        tmp(base + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    // pass 2: vertical ky over clamped y, row-sequential (each output row
+    // reads ksize source rows linearly), then abs + saturate
+    val rowBase = new Array[Int](ksize)
+    y = 0
+    while (y < h) {
+      val base = y * w
+      var i = 0
+      while (i < ksize) {
+        var cy = y + i - r
+        if (cy < 0) cy = 0 else if (cy >= h) cy = h - 1
+        rowBase(i) = cy * w
+        i += 1
+      }
       var x = 0
       while (x < w) {
         var v = 0
-        var dy = -r
-        while (dy <= r) {
-          var rowSum = 0
-          var dx = -r
-          while (dx <= r) {
-            rowSum += kx(dx + r) * p(x + dx, y + dy)
-            dx += 1
-          }
-          v += ky(dy + r) * rowSum
-          dy += 1
-        }
-        val a = math.abs(v)
-        out(y * w + x) = (if (a > 255) 255 else a).toByte
+        i = 0
+        while (i < ksize) { v += ky(i) * tmp(rowBase(i) + x); i += 1 }
+        val a = if (v < 0) -v else v
+        out(base + x) = (if (a > 255) 255 else a).toByte
         x += 1
       }
       y += 1

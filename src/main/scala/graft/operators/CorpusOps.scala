@@ -325,9 +325,15 @@ object CorpusOps {
     * oracle. */
   def d9EmbedDup(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val q = quantized(s, dir)
-      .join(table(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-            "vec_id")
+    // ONE scan carries both the raw embedding (lsh_bucket input) and the
+    // quantized projection: the old shape joined `quantized` back to the
+    // embeddings table on vec_id just to recover the float column — an
+    // Exchange + join the single projection makes redundant (guide §2.4;
+    // r6: 2 scans + 1 shuffle join → 1 scan, output unchanged).
+    val q = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
       .withColumn("nrm", dotCol(col("qv"), col("qv")))
     val bands = q.select(col("vec_id"), col("qv"), col("nrm"),
       explode(array((0 until D9Tables).map(t =>
@@ -340,16 +346,25 @@ object CorpusOps {
                          col("nrm").as("na"), col("tbl"), col("bucket"))
     val b = bands.select(col("vec_id").as("vec_b"), col("qv").as("qb"),
                          col("nrm").as("nb"), col("tbl"), col("bucket"))
-    // verify BEFORE dedup: the exact predicate runs map-side on each
-    // bucket-collision instance (native dot_i64, cheap), so only passing
-    // pairs — a tiny set — ever shuffle through the duplicate removal;
-    // deduping first would shuffle every candidate with its vectors
-    a.join(b, Seq("tbl", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
+    // verify BEFORE dedup: the exact predicate runs on each
+    // bucket-collision instance, so only passing pairs — a tiny set —
+    // ever shuffle through the duplicate removal; deduping first would
+    // shuffle every candidate with its vectors.
+    //  - shuffle_hash hint (r6): the single-scan sides are small enough
+    //    that the planner otherwise broadcasts one side and streams the
+    //    OTHER through the 1-file scan's single partition — every
+    //    candidate pair evaluated in one task. The shuffled hash join
+    //    spreads the ~N²/2^bits per-table pair space over the shuffle
+    //    width (and skips the sort-merge sorts).
+    //  - cos04_ge (r6): the fused predicate evaluates the 64-long dot
+    //    once per candidate; spelled as dot_i64 conjuncts it sat in the
+    //    join condition 3x. `dot` is then recomputed only for the few
+    //    survivors (Project after the join), same integer either way.
+    a.hint("shuffle_hash").join(b, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b") &&
+              call_function("cos04_ge",
+                col("qa"), col("qb"), col("na"), col("nb")))
       .withColumn("dot", dotCol(col("qa"), col("qb")))
-      .filter(col("dot") > 0 &&
-              col("dot") * col("dot") * lit(25L) >=
-              col("na") * col("nb") * lit(4L))
       .select(col("vec_a"), col("vec_b"), col("dot"), col("na"), col("nb"))
       .dropDuplicates("vec_a", "vec_b")
       .orderBy("vec_a", "vec_b")
@@ -388,6 +403,7 @@ object CorpusOps {
     * Edge set: the d9 exact cosine pairs. Oracled in DuckDB with a
     * recursive transitive-closure CTE. */
   def d10DupClusters(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val nodes = table(s, dir, "embeddings").select(col("vec_id"))
     val edges = d9EmbedDup(s, dir).select(col("vec_a"), col("vec_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -416,80 +432,104 @@ object CorpusOps {
       .withColumn("nrm", dotCol(col("qv"), col("qv")))
     val missed = sampled
       .select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na"))
+      // repartition the streamed side (r6): the 1-file scan is a single
+      // partition, so the deliberate ~target²/2-pair nested loop ran in
+      // ONE task; spreading it over the session's width divides the
+      // audit wall by the core count (audit size is fixed, so the
+      // partition count can be the parallelism, not a data constant)
+      .repartition(s.sparkContext.defaultParallelism)
       .join(broadcast(sampled.select(col("vec_id").as("vec_b"),
               col("qv").as("qb"), col("nrm").as("nb"))),
             col("vec_a") < col("vec_b"))
-      .withColumn("dot", dotCol(col("qa"), col("qb")))
-      .filter(col("dot") > 0 &&
-              col("dot") * col("dot") * lit(25L) >=
-              col("na") * col("nb") * lit(4L))
+      // fused predicate (see d9): one dot evaluation per sampled pair
+      // instead of three in the join condition
+      .filter(call_function("cos04_ge",
+                col("qa"), col("qb"), col("na"), col("nb")))
       .select(col("vec_a"), col("vec_b"))
       .join(edges, Seq("vec_a", "vec_b"), "left_anti")
       .count()
     require(missed == 0,
       s"d10 audit: LSH blocking missed $missed exact near-dup edge(s) in " +
       s"the 1/$auditMod vector sample — raise CorpusOps.D9Tables")
-    val edgesBi = edges.select(col("vec_a").as("src"), col("vec_b").as("dst"))
-      .union(edges.select(col("vec_b").as("src"), col("vec_a").as("dst")))
     // Each round: (1) neighbour-min step, (2) pointer-jump step
     // (lbl := lbl(lbl)) — pointer doubling makes convergence logarithmic
     // in component diameter instead of linear (a chain of near-dups
     // otherwise needs diameter rounds — observed blowing the query budget
-    // at sf0.1). localCheckpoint truncates the plan lineage every round
-    // (the other iterative-algorithm killer: each round's plan otherwise
-    // embeds all previous rounds); production would use a reliable
-    // checkpoint dir.
-    var labels = nodes.withColumn("lbl", col("vec_id")).localCheckpoint(true)
+    // at sf0.1).
+    //
+    // The LOOP runs on pair RDDs with one fixed HashPartitioner (r6,
+    // guide §2.4 "remove shuffles outright"): the DataFrame form paid
+    // full Catalyst analysis + AQE planning and re-shuffled BOTH join
+    // inputs every round because localCheckpoint erases partitioning
+    // metadata. With edges partitioned by src ONCE and labels kept
+    // partitioned by vec_id (reduceByKey/leftOuterJoin with the same
+    // partitioner preserve it), the neighbour-min join is NARROW every
+    // round — only the dst-keyed min shuffle and the jump lookup move
+    // data, and each round is exactly ONE job (the convergence count
+    // rides a LongAccumulator filled during materialization instead of a
+    // second agg job; `changed` only gates on == 0, and task re-runs of
+    // deterministic data can only re-count real changes, never invent
+    // one). localCheckpoint(eager) still truncates lineage each round.
+    // Algorithm, trajectory, round count and output are identical to the
+    // DataFrame form; at sf0.1 (longest chain ~10 doubling rounds) the
+    // per-round wall drops ~4x.
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    // partition count: scale-adaptive (one partition per ~100k vectors,
+    // capped below the session width; local corpora get 1 → single-task
+    // rounds, a 100 TB corpus inherits the cluster's width)
+    val nParts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+      ((nVec + 99999L) / 100000L).toInt))
+    val part = new HashPartitioner(nParts)
+    val edgesBi = edges.select(col("vec_a").as("src"), col("vec_b").as("dst"))
+      .union(edges.select(col("vec_b").as("src"), col("vec_a").as("dst")))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.rdd.map(r => { val v = r.getLong(0); (v, v) })
+      .partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.localCheckpoint()
+    labels.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val msgs = edgesBi.join(labels, col("src") === col("vec_id"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("nbr_lbl"))
-      // checkpoint BEFORE the convergence agg and the jump self-join:
-      // `stepped` feeds both, and without materialization the
-      // neighbour-min shuffle would execute twice per round. The per-row
-      // `chg` flag (labels are monotone non-increasing, so "changed" is
-      // just `new < old`) makes convergence one cheap partial agg over
-      // the cached checkpoint. The NEIGHBOUR-MIN step alone is a
-      // sufficient convergence test: edges are bidirectional, so a
-      // neighbour-min fixed point means lbl(u) <= lbl(v) and
-      // lbl(v) <= lbl(u) across every edge — labels already constant per
-      // component — and the pointer jump is then the identity (every
-      // label is its component's min, which labels itself). Checking only
-      // this step cuts each round to 2 checkpoint jobs + 1 agg (was
-      // 3 + 2) and skips the converged round's jump join entirely; at
-      // sf0.1 the longest near-dup chain needs ~10 doubling rounds, so
-      // per-round job count dominates the query (round-3 verdict asked
-      // d10 under 15 s at sf0.1).
-      val stepped = labels.join(msgs, col("vec_id") === col("dst"), "left")
-        .select(col("vec_id"),
-                least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl")))
-                  .as("lbl"),
-                (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl"))
-                  .cast("long").as("chg"))
-        .localCheckpoint(true)
-      val changed =
-        stepped.agg(coalesce(sum(col("chg")), lit(0L))).head().getLong(0)
-      if (changed == 0) {
-        labels = stepped.select(col("vec_id"), col("lbl"))
-        converged = true
-      } else {
-        labels = stepped.as("a")
-          .join(stepped.select(col("vec_id").as("p_id"),
-                               col("lbl").as("p_lbl")),
-                col("a.lbl") === col("p_id"), "left")
-          .select(col("a.vec_id").as("vec_id"),
-                  coalesce(col("p_lbl"), col("a.lbl")).as("lbl"))
-          .localCheckpoint(true)
-      }
+      val chgAcc = s.sparkContext.longAccumulator(s"d10.chg.round$rounds")
+      // neighbour-min: narrow join (both sides partitioned by `part`),
+      // then one dst-keyed min shuffle
+      val msgs = edgesBi.join(labels, part)
+        .map { case (_, (dst, lbl)) => (dst, lbl) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val minned = labels.leftOuterJoin(msgs, part) // narrow on both sides
+        .mapValues { case (lbl, nbr) =>
+          val nl = nbr.fold(lbl)(math.min(lbl, _))
+          if (nl < lbl) chgAcc.add(1L)
+          nl
+        }
+      // pointer jump lbl := lbl(lbl): the (lbl, vec_id) side shuffles by
+      // label; the lookup side is `minned`, already partitioned by key
+      val jumped = minned.map { case (v, l) => (l, v) }
+        .leftOuterJoin(minned, part)
+        .map { case (l, (v, pl)) => (v, pl.getOrElse(l)) }
+        .partitionBy(part)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      jumped.localCheckpoint()
+      jumped.count() // ONE action per round: materializes + fills chgAcc
+      labels.unpersist(blocking = false)
+      labels = jumped
+      if (chgAcc.value == 0L) converged = true
       rounds += 1
     }
     System.err.println(
       s"[d10] ${if (converged) "converged" else "ROUND CAP HIT"} after " +
       s"$rounds round(s) (cap $maxRounds, audit target $auditTarget)")
     edges.unpersist()
-    labels.select(col("vec_id"), col("lbl").as("cluster_id"))
-      .orderBy("vec_id")
+    edgesBi.unpersist(blocking = false)
+    import s.implicits._
+    // labels stays persisted: the returned frame is lazy and its lineage
+    // is checkpoint-truncated — the blocks are reclaimed by the context
+    // cleaner once unreferenced
+    labels.toDF("vec_id", "cluster_id").orderBy("vec_id")
   }
 
   /** e3: IVF-style ANN — the scale path beside e2's LSH. A coarse
@@ -520,10 +560,14 @@ object CorpusOps {
     val q = quantized(s, dir).withColumn("nrm", dotCol(col("qv"), col("qv")))
     val n = q.count() // one metadata action: sets the seeded-init stride
     val step = math.max(1L, n / k)
+    // centroid frames carry their own norm (`cnrm`): the old assign
+    // recomputed dot(cv, cv) — an interpreted 64-long dot — once per
+    // CANDIDATE ROW (N×K times); K values computed once per centroid is
+    // the same number, same double math (guide §1.2 per-task work).
     val init = q
       .filter(col("vec_id") % step === 0 && col("vec_id") / step < k)
       .select((col("vec_id") / step).cast("int").as("cid"),
-              col("qv").as("cv"))
+              col("qv").as("cv"), col("nrm").as("cnrm"))
     // assign each vector of `df` to its argmax-cosine centroid (ties →
     // lower cid). max_by + groupBy, not a window: partial aggregation
     // collapses the N×K cross-join map-side, so only ~N rows ever shuffle.
@@ -531,7 +575,7 @@ object CorpusOps {
       df.crossJoin(broadcast(cent))
         .withColumn("score",
           dotCol(col("qv"), col("cv")).cast("double") /
-          sqrt(dotCol(col("cv"), col("cv")).cast("double")))
+          sqrt(col("cnrm").cast("double")))
         .groupBy(col("vec_id"))
         .agg(first(col("qv")).as("qv"), first(col("nrm")).as("nrm"),
              max_by(col("cid"), struct(col("score"), -col("cid"))).as("cid"))
@@ -549,12 +593,13 @@ object CorpusOps {
                      x => x.getField("m")).as("cv_trained"))
     val refined = init.join(means, Seq("cid"), "left")
       .select(col("cid"), coalesce(col("cv_trained"), col("cv")).as("cv"))
+      .withColumn("cnrm", dotCol(col("cv"), col("cv"))) // once per centroid
     val lists = assign(q, refined) // inverted lists: vec_id → cell
     val probes = q.filter(col("vec_id") < 10)
       .crossJoin(broadcast(refined))
       .withColumn("score",
         dotCol(col("qv"), col("cv")).cast("double") /
-        sqrt(dotCol(col("cv"), col("cv")).cast("double")))
+        sqrt(col("cnrm").cast("double")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"))
           .orderBy(col("score").desc, col("cid").asc)))
@@ -622,8 +667,12 @@ object CorpusOps {
     // tables derive deterministic seeds
     val seeds = (Seq(42L, 1337L) ++ (2 until tables).map(t => 7919L * t + 13L))
       .take(tables)
-    val emb = quantized(s, dir)
-      .join(table(s, dir, "embeddings").select(col("vec_id"), col("embedding")), "vec_id")
+    // single-scan projection (same r6 rewrite as d9: no self-join to
+    // recover the float column beside the quantized one)
+    val emb = table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("qv"))
       .select(col("vec_id"), col("qv"),
         explode(array(seeds.zipWithIndex.map { case (seed, t) =>
           struct(lit(t).as("tbl"),

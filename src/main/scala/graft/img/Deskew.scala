@@ -98,17 +98,23 @@ object Deskew {
   def applyUnshear(b: Bin, s: Int, out0: Array[Boolean] = null): Bin = {
     if (s == 0) return b
     val out = if (out0 != null) out0 else new Array[Boolean](b.b.length)
+    // r6: row-major traversal with a pooled per-column dy table — the
+    // old column-major walk wrote with stride w on every access. Reads
+    // stay within ±MaxSlope rows of the output row, so the pass is
+    // cache-linear; same formula, identical output.
+    val dyCol = PlanePool.ints("deskew.applydy", b.w)
     var x = 0
-    while (x < b.w) {
-      val dy = shearDy(x, b.w, s)
-      var y = 0
-      while (y < b.h) {
-        val sy = y + dy
-        out(y * b.w + x) =
-          sy >= 0 && sy < b.h && b.b(sy * b.w + x)
-        y += 1
+    while (x < b.w) { dyCol(x) = shearDy(x, b.w, s); x += 1 }
+    var y = 0
+    while (y < b.h) {
+      val base = y * b.w
+      x = 0
+      while (x < b.w) {
+        val sy = y + dyCol(x)
+        out(base + x) = sy >= 0 && sy < b.h && b.b(sy * b.w + x)
+        x += 1
       }
-      x += 1
+      y += 1
     }
     new Bin(b.w, b.h, out)
   }

@@ -66,6 +66,30 @@ final class Gray(val w: Int, val h: Int, val px: Array[Byte]) {
     val nw = w / k
     val nh = h / k
     val out = if (out0 != null) out0 else new Array[Byte](nw * nh)
+    if (k == 2) {
+      // r6 fast path for the kernel's only hot factor (PageScale = 2):
+      // two linear row reads per output row, shift instead of divide —
+      // (a+b+c+d) >> 2 == (a+b+c+d) / 4 for non-negative sums, so the
+      // output is bit-identical to the generic loop. The generic form's
+      // 4-deep nesting + per-pixel division made this the single most
+      // expensive recognize stage (r6 KernelProf: ~1.6 ms/page of a
+      // ~3.5 ms recognize).
+      var oy = 0
+      while (oy < nh) {
+        var i0 = (oy * 2) * w // top-left of the 2x2 block
+        var o = oy * nw
+        val oEnd = o + nw
+        while (o < oEnd) {
+          val s = (px(i0) & 0xFF) + (px(i0 + 1) & 0xFF) +
+                  (px(i0 + w) & 0xFF) + (px(i0 + w + 1) & 0xFF)
+          out(o) = (s >> 2).toByte
+          i0 += 2
+          o += 1
+        }
+        oy += 1
+      }
+      return new Gray(nw, nh, out)
+    }
     val area = k * k
     var oy = 0
     while (oy < nh) {

@@ -53,24 +53,48 @@ object Morph {
               else new Array[Boolean](w * h)
     val lo = (k - 1) / 2
     val hi = k / 2
+    // r6: the slide loop is split into border segments (window clipped,
+    // per-access bounds checks as before) and an interior segment where
+    // the window is fully inside the row — win == k, both slide indices
+    // in-bounds — so the hot span runs without min/max or bounds tests.
+    // Same counts, identical output.
+    val mainEnd = w - 1 - hi // for x < mainEnd, x+1+hi <= w-1
     var y = 0
     while (y < h) {
       val base = y * w
       // count of true in window
       var cnt = 0
-      var x = -lo
       // init window for x=0: [-lo, hi]
-      var j = -lo
-      while (j <= hi) { if (j >= 0 && j < w && src.b(base + j)) cnt += 1; j += 1 }
-      x = 0
-      while (x < w) {
-        val win = math.min(w - 1, x + hi) - math.max(0, x - lo) + 1
+      var j = 0
+      while (j <= hi && j < w) { if (src.b(base + j)) cnt += 1; j += 1 }
+      var x = 0
+      while (x < w && x < lo) { // left border: window clipped at 0
+        val win = math.min(w - 1, x + hi) + 1
         out(base + x) = if (all) cnt == win else cnt > 0
-        // slide: remove x-lo, add x+1+hi
-        val rem = x - lo
-        if (rem >= 0 && rem < w && src.b(base + rem)) cnt -= 1
         val add = x + 1 + hi
-        if (add >= 0 && add < w && src.b(base + add)) cnt += 1
+        if (add < w && src.b(base + add)) cnt += 1
+        x += 1
+      }
+      if (all) {
+        while (x < mainEnd) {
+          out(base + x) = cnt == k
+          if (src.b(base + x - lo)) cnt -= 1
+          if (src.b(base + x + 1 + hi)) cnt += 1
+          x += 1
+        }
+      } else {
+        while (x < mainEnd) {
+          out(base + x) = cnt > 0
+          if (src.b(base + x - lo)) cnt -= 1
+          if (src.b(base + x + 1 + hi)) cnt += 1
+          x += 1
+        }
+      }
+      while (x < w) { // right border: window clipped at w-1
+        val win = (w - 1) - math.max(0, x - lo) + 1
+        out(base + x) = if (all) cnt == win else cnt > 0
+        val rem = x - lo
+        if (rem >= 0 && src.b(base + rem)) cnt -= 1
         x += 1
       }
       y += 1

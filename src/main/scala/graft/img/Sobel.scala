@@ -65,11 +65,26 @@ object Sobel {
         tmp(base + x) = v
         x += 1
       }
-      while (x < xInteriorEnd) { // interior (branch-free)
-        var v = 0; var i = 0
-        while (i < ksize) { v += kx(i) * (px(base + x + i - r) & 0xFF); i += 1 }
-        tmp(base + x) = v
-        x += 1
+      if (ksize == 5) { // interior, taps in scalars (r6: JIT-friendly)
+        val k0 = kx(0); val k1 = kx(1); val k2 = kx(2)
+        val k3 = kx(3); val k4 = kx(4)
+        while (x < xInteriorEnd) {
+          val i0 = base + x - 2
+          tmp(base + x) =
+            k0 * (px(i0) & 0xFF) + k1 * (px(i0 + 1) & 0xFF) +
+            k2 * (px(i0 + 2) & 0xFF) + k3 * (px(i0 + 3) & 0xFF) +
+            k4 * (px(i0 + 4) & 0xFF)
+          x += 1
+        }
+      } else { // ksize == 3
+        val k0 = kx(0); val k1 = kx(1); val k2 = kx(2)
+        while (x < xInteriorEnd) {
+          val i0 = base + x - 1
+          tmp(base + x) =
+            k0 * (px(i0) & 0xFF) + k1 * (px(i0 + 1) & 0xFF) +
+            k2 * (px(i0 + 2) & 0xFF)
+          x += 1
+        }
       }
       while (x < w) { // right border (clamped)
         var v = 0; var i = 0
@@ -98,13 +113,27 @@ object Sobel {
         i += 1
       }
       var x = 0
-      while (x < w) {
-        var v = 0
-        i = 0
-        while (i < ksize) { v += ky(i) * tmp(rowBase(i) + x); i += 1 }
-        val a = if (v < 0) -v else v
-        out(base + x) = (if (a > 255) 255 else a).toByte
-        x += 1
+      if (ksize == 5) { // taps + row bases in scalars (r6)
+        val k0 = ky(0); val k1 = ky(1); val k2 = ky(2)
+        val k3 = ky(3); val k4 = ky(4)
+        val r0 = rowBase(0); val r1 = rowBase(1); val r2 = rowBase(2)
+        val r3 = rowBase(3); val r4 = rowBase(4)
+        while (x < w) {
+          val v = k0 * tmp(r0 + x) + k1 * tmp(r1 + x) + k2 * tmp(r2 + x) +
+                  k3 * tmp(r3 + x) + k4 * tmp(r4 + x)
+          val a = if (v < 0) -v else v
+          out(base + x) = (if (a > 255) 255 else a).toByte
+          x += 1
+        }
+      } else { // ksize == 3
+        val k0 = ky(0); val k1 = ky(1); val k2 = ky(2)
+        val r0 = rowBase(0); val r1 = rowBase(1); val r2 = rowBase(2)
+        while (x < w) {
+          val v = k0 * tmp(r0 + x) + k1 * tmp(r1 + x) + k2 * tmp(r2 + x)
+          val a = if (v < 0) -v else v
+          out(base + x) = (if (a > 255) 255 else a).toByte
+          x += 1
+        }
       }
       y += 1
     }

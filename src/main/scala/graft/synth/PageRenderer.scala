@@ -493,22 +493,56 @@ object PageRenderer {
     val w2 = LogicalW * Scale
     val h2 = LogicalH * Scale
     val px = graft.img.PlanePool.bytes("render.px", w2 * h2)
-    var nbits = 0L
-    var nleft = 0
-    var yy = 0
-    while (yy < h2) {
-      var xx = 0
-      val rowBase = (yy / Scale) * LogicalW
-      while (xx < w2) {
-        if (nleft == 0) { nbits = noise.nextLong(); nleft = 8 }
-        val n = (nbits & 0x1FL).toInt // [0, 32)
-        nbits >>>= 8
-        nleft -= 1
-        val ink = mask(rowBase + (xx / Scale))
-        px(yy * w2 + xx) = (if (ink) 18 + n else 215 + n).toByte
-        xx += 1
+    if (Scale == 2 && w2 % 8 == 0) {
+      // r6 fast path, BIT-IDENTICAL output: one pixel consumes one noise
+      // byte LSB-first exactly as the generic loop below, but the loop
+      // draws the long once per 8 pixels, reads each logical mask cell
+      // once per 2 stored px, and replaces the /Scale divisions with
+      // shifts (row length divisible by 8 keeps draw boundaries exactly
+      // where the carried nbits/nleft stream put them).
+      var yy = 0
+      while (yy < h2) {
+        val outBase = yy * w2
+        val rowBase = (yy >> 1) * LogicalW
+        var xx = 0
+        while (xx < w2) {
+          val nb = noise.nextLong()
+          val m = rowBase + (xx >> 1)
+          val o = outBase + xx
+          val b0 = if (mask(m)) 18 else 215
+          val b1 = if (mask(m + 1)) 18 else 215
+          val b2 = if (mask(m + 2)) 18 else 215
+          val b3 = if (mask(m + 3)) 18 else 215
+          px(o)     = (b0 + (nb & 0x1FL).toInt).toByte
+          px(o + 1) = (b0 + ((nb >>> 8) & 0x1FL).toInt).toByte
+          px(o + 2) = (b1 + ((nb >>> 16) & 0x1FL).toInt).toByte
+          px(o + 3) = (b1 + ((nb >>> 24) & 0x1FL).toInt).toByte
+          px(o + 4) = (b2 + ((nb >>> 32) & 0x1FL).toInt).toByte
+          px(o + 5) = (b2 + ((nb >>> 40) & 0x1FL).toInt).toByte
+          px(o + 6) = (b3 + ((nb >>> 48) & 0x1FL).toInt).toByte
+          px(o + 7) = (b3 + ((nb >>> 56) & 0x1FL).toInt).toByte
+          xx += 8
+        }
+        yy += 1
       }
-      yy += 1
+    } else {
+      var nbits = 0L
+      var nleft = 0
+      var yy = 0
+      while (yy < h2) {
+        var xx = 0
+        val rowBase = (yy / Scale) * LogicalW
+        while (xx < w2) {
+          if (nleft == 0) { nbits = noise.nextLong(); nleft = 8 }
+          val n = (nbits & 0x1FL).toInt // [0, 32)
+          nbits >>>= 8
+          nleft -= 1
+          val ink = mask(rowBase + (xx / Scale))
+          px(yy * w2 + xx) = (if (ink) 18 + n else 215 + n).toByte
+          xx += 1
+        }
+        yy += 1
+      }
     }
     // small-skew fixture: forward shear S(x, y) = O(x, y - dy(x)) at 2x,
     // even displacements (2x the logical-column displacement) so the
@@ -518,17 +552,25 @@ object PageRenderer {
       if (slope == 0) new Gray(w2, h2, px)
       else {
         val out = graft.img.PlanePool.bytes("render.shear", w2 * h2)
+        // row-major with a per-column dy table (r6): same formula as the
+        // old column-major walk, cache-linear writes
+        val dyCol = graft.img.PlanePool.ints("render.sheardy", w2)
         var x = 0
         while (x < w2) {
-          val dy2 = 2 * graft.img.Deskew.shearDy(x / Scale, LogicalW, slope)
-          var y = 0
-          while (y < h2) {
-            val sy = y - dy2
-            out(y * w2 + x) =
-              if (sy >= 0 && sy < h2) px(sy * w2 + x) else 230.toByte
-            y += 1
-          }
+          dyCol(x) = 2 * graft.img.Deskew.shearDy(x / Scale, LogicalW, slope)
           x += 1
+        }
+        var y = 0
+        while (y < h2) {
+          val base = y * w2
+          x = 0
+          while (x < w2) {
+            val sy = y - dyCol(x)
+            out(base + x) =
+              if (sy >= 0 && sy < h2) px(sy * w2 + x) else 230.toByte
+            x += 1
+          }
+          y += 1
         }
         new Gray(w2, h2, out)
       }

@@ -842,9 +842,11 @@ object SparkEntry {
          WHERE hamming <= 6 ORDER BY doc_a, doc_b""",
     // d7's oracle is the exact ALL-PAIRS word-trigram Jaccard pair set
     // (d2's machinery with NO doc bound and NO df cap): a green row proves
-    // the 8x3-band MinHash-LSH blocking has 100% recall on the driver data
-    // AND the per-candidate exact verification is value-correct
-    // (CorpusOps.d7MinHashLsh docstring).
+    // the D7Bands x D7Rows (48x2, k=96) MinHash-LSH blocking recalled
+    // every pair at the jac >= 0.5 report threshold on the driver data —
+    // the operator's contract is a ~1e-6 boundary miss probability, not a
+    // recall guarantee (CorpusOps D7 parameterization scaladoc) — AND the
+    // per-candidate exact verification is value-correct.
     "d7_minhash_lsh" ->
       """WITH toks AS (
            -- \s+ regex split: d7's engine side (minhash_sig + the exact

@@ -68,8 +68,17 @@ object Checkpoint {
     * A run whose subdirectory was absorbed by [[compact]] is still
     * recorded: its id lives in a consolidated dir's manifest. */
   def isRecorded(spark: SparkSession, ckptDir: String, runId: String): Boolean =
+    isRecorded(spark, ckptDir, runId, compactedRunIds(spark, ckptDir))
+
+  /** Set-reusing overload (r6, round-5 ADVICE): a caller checking MANY
+    * run dirs (ExtractJob.reconcile) computes [[compactedRunIds]] once —
+    * the per-call form re-listed the lineage root and re-read every
+    * manifest on each miss, O(runs) reads of O(runs)-line manifests per
+    * reconcile. */
+  def isRecorded(spark: SparkSession, ckptDir: String, runId: String,
+                 compacted: Set[String]): Boolean =
     exists(spark, s"$ckptDir/lineage/run=$runId/_SUCCESS") ||
-    compactedRunIds(spark, ckptDir).contains(runId)
+    compacted.contains(runId)
 
   /** Record a run's written OutRows as done + lineage, idempotently: both
     * tables get a `run=<runId>` subdirectory written with Overwrite, so
@@ -134,9 +143,13 @@ object Checkpoint {
 
   /** Run ids absorbed into consolidated dirs — the union of every
     * committed manifest. Cost: one listing of the lineage table root plus
-    * one tiny text read per consolidated dir (bounded by the compaction
-    * threshold, not by run history — each compaction folds prior
-    * manifests into its own). */
+    * one text read per consolidated dir. The consolidated FILE count is
+    * bounded by the compaction threshold, but each compaction folds prior
+    * manifests into its own, so manifest line count (and read bytes)
+    * grows one line per historical run — a few KB at hundreds of runs,
+    * not O(threshold) (r6 doc fix, round-5 ADVICE). Callers doing
+    * per-run-dir membership checks should call this ONCE and reuse the
+    * set (see [[isRecorded]]'s set overload). */
   def compactedRunIds(spark: SparkSession, ckptDir: String): Set[String] = {
     val root = new Path(s"$ckptDir/lineage")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -221,10 +234,20 @@ object Checkpoint {
     spark.read.parquet(s"$ckptDir/lineage").drop("run")
       .coalesce(width).write.mode(SaveMode.Overwrite)
       .parquet(s"$ckptDir/lineage/run=$id")
-    // 3. commit point: the manifest
-    val out = fs.create(new Path(s"$ckptDir/lineage/run=$id/$ManifestName"), true)
+    // 3. commit point: the manifest — written to a temp name and RENAMED
+    // into place (r6, round-5 ADVICE): fs.create() makes the final name
+    // visible before its contents are written, so a crash between create
+    // and close would leave an empty manifest that repairCompaction
+    // treats as committed and the unlisted sources' rows would duplicate
+    // forever. Rename is atomic on local FS and HDFS, so the manifest
+    // exists only when complete.
+    val mfFinal = new Path(s"$ckptDir/lineage/run=$id/$ManifestName")
+    val mfTmp = new Path(s"$ckptDir/lineage/run=$id/$ManifestName.tmp")
+    val out = fs.create(mfTmp, true)
     try out.write((absorbed.distinct.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
+    require(fs.rename(mfTmp, mfFinal),
+      s"compaction commit failed: rename $mfTmp -> $mfFinal")
     // 4. delete absorbed sources
     for (src <- sources) {
       fs.delete(new Path(s"$ckptDir/done/run=$src"), true)

@@ -255,6 +255,12 @@ object ExtractJob {
     if (!fs.exists(root)) return
     val runDirs = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("run="))
+    // one manifest sweep for the whole reconcile (r6, round-5 ADVICE):
+    // the per-dir isRecorded re-listed the lineage root and re-read
+    // every consolidated manifest on each compacted-run miss — O(runs)
+    // reads of O(runs)-line manifests per invocation, quadratic
+    // small-file IO in exactly the listing dimension compaction bounds
+    val compacted = Checkpoint.compactedRunIds(spark, ckptDir)
     for (dir <- runDirs) {
       dir.getPath.getName.stripPrefix("run=") match {
         case runId @ OwnRunId(runSnap, _) =>
@@ -262,7 +268,7 @@ object ExtractJob {
             fs.delete(dir.getPath, true)
             fs.delete(new Path(s"$ckptDir/done/run=$runId"), true)
             fs.delete(new Path(s"$ckptDir/lineage/run=$runId"), true)
-          } else if (!Checkpoint.isRecorded(spark, ckptDir, runId)) {
+          } else if (!Checkpoint.isRecorded(spark, ckptDir, runId, compacted)) {
             Checkpoint.append(spark, ckptDir, runSnap, runId,
               spark.read.parquet(dir.getPath.toString))
           }

@@ -374,6 +374,37 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       SnapshotTable.currentSnapshotId(in)) == 4)
   }
 
+  test("checkpoint compaction: a crash mid-manifest-write (tmp file only) " +
+       "is uncommitted and rolls back, never treated as a commit") {
+    import spark.implicits._
+    val in = tmp("min"); val out = tmp("mout"); val ck = tmp("mck")
+    val (inputs, _) = CorpusGen.corpus(4)
+    SnapshotTable.write(inputs.toDS.toDF, in, buckets = 2)
+    for (doc <- inputs.map(_.doc_id))
+      ExtractJob.run(spark, in, out, ck,
+        worklist = Some(Seq(doc).toDF("doc_id")))
+    val snap = SnapshotTable.currentSnapshotId(in)
+    assert(Checkpoint.doneTotal(spark, ck, snap) == 4)
+    // simulate the r6 atomic-commit crash window: consolidated pair fully
+    // written (with _SUCCESS) but the manifest only exists under its
+    // TEMP name — the rename never happened. Before the tmp+rename fix,
+    // an empty/partial _manifest.txt at the final name would have read
+    // as committed and left the absorbed sources' rows duplicated.
+    val doneAll = spark.read.parquet(s"$ck/done").drop("run")
+    doneAll.write.parquet(s"$ck/done/run=compact_777")
+    spark.read.parquet(s"$ck/lineage").drop("run")
+      .write.parquet(s"$ck/lineage/run=compact_777")
+    val tmpMf = new java.io.File(s"$ck/lineage/run=compact_777/_manifest.txt.tmp")
+    val w = new java.io.PrintWriter(tmpMf)
+    try w.println("half-written") finally w.close()
+    Checkpoint.repairCompaction(spark, ck)
+    assert(!new java.io.File(s"$ck/done/run=compact_777").exists,
+      "tmp-only manifest must read as uncommitted -> rollback")
+    assert(!new java.io.File(s"$ck/lineage/run=compact_777").exists)
+    assert(Checkpoint.doneTotal(spark, ck, snap) == 4,
+      "rollback must leave source rows intact and never double-count")
+  }
+
   test("JSON export: year-partitioned sink roundtrips the span arrays (S6)") {
     import spark.implicits._
     import org.apache.spark.sql.types._

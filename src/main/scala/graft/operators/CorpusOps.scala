@@ -430,7 +430,7 @@ object CorpusOps {
     val sampled = quantized(s, dir)
       .filter(pmod(xxhash64(col("vec_id")), lit(auditMod)) === 0)
       .withColumn("nrm", dotCol(col("qv"), col("qv")))
-    val missed = sampled
+    val missedDf = sampled
       .select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na"))
       // repartition the streamed side (r6): the 1-file scan is a single
       // partition, so the deliberate ~target²/2-pair nested loop ran in
@@ -447,10 +447,6 @@ object CorpusOps {
                 col("qa"), col("qb"), col("na"), col("nb")))
       .select(col("vec_a"), col("vec_b"))
       .join(edges, Seq("vec_a", "vec_b"), "left_anti")
-      .count()
-    require(missed == 0,
-      s"d10 audit: LSH blocking missed $missed exact near-dup edge(s) in " +
-      s"the 1/$auditMod vector sample — raise CorpusOps.D9Tables")
     // Each round: (1) neighbour-min step, (2) pointer-jump step
     // (lbl := lbl(lbl)) — pointer doubling makes convergence logarithmic
     // in component diameter instead of linear (a chain of near-dups
@@ -486,6 +482,28 @@ object CorpusOps {
       .rdd.map(r => (r.getLong(0), r.getLong(1)))
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the (persisted) edge set once, up front: the audit and
+    // every propagation round read it from cache instead of racing to
+    // compute d9 concurrently
+    edgesBi.count()
+    // OVERLAPPED AUDIT (r6, guide §2.6): the audit's all-pairs re-check
+    // only needs to have PASSED before the result ships — it reads the
+    // cached edge set and is otherwise independent of the propagation
+    // loop, so its jobs run concurrently with the rounds from a helper
+    // thread (job group/description copied so a driver-side cancel of
+    // this query still covers it) and the verdict is awaited (and
+    // enforced, same require) before the labels are returned.
+    val sc = s.sparkContext
+    val groupId = sc.getLocalProperty("spark.jobGroup.id")
+    val jobDesc = sc.getLocalProperty("spark.job.description")
+    val interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
+    val auditFut = scala.concurrent.Future {
+      if (groupId != null)
+        sc.setJobGroup(groupId,
+          if (jobDesc != null) jobDesc else "d10 audit",
+          interruptOnCancel = interrupt != null && interrupt.toBoolean)
+      missedDf.count()
+    }(scala.concurrent.ExecutionContext.global)
     var labels = nodes.rdd.map(r => { val v = r.getLong(0); (v, v) })
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -520,6 +538,13 @@ object CorpusOps {
       if (chgAcc.value == 0L) converged = true
       rounds += 1
     }
+    // the audit verdict gates the result exactly as before — only its
+    // WALL overlapped the propagation rounds
+    val missed = scala.concurrent.Await.result(
+      auditFut, scala.concurrent.duration.Duration.Inf)
+    require(missed == 0,
+      s"d10 audit: LSH blocking missed $missed exact near-dup edge(s) in " +
+      s"the 1/$auditMod vector sample — raise CorpusOps.D9Tables")
     System.err.println(
       s"[d10] ${if (converged) "converged" else "ROUND CAP HIT"} after " +
       s"$rounds round(s) (cap $maxRounds, audit target $auditTarget)")

@@ -23,7 +23,14 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical"))
       .orderBy("text_hash")
 
-  /** Distinct word-trigram shingles per document (doc_id < bound). */
+  /** Distinct word-trigram shingles per document (doc_id < bound).
+    *
+    * r6 note: an array-native rewrite (filter + transform/sequence
+    * indexing, removing this window's exchange+sort) was measured ~2x
+    * SLOWER warm — Spark's higher-order array functions evaluate their
+    * lambdas interpreted, while this posexplode + lead shape is fully
+    * whole-stage-codegen'd; the window shuffle is doc_id-keyed (no
+    * skew) and scales horizontally, so the codegen'd form is kept. */
   private def shingles(s: SparkSession, dir: String, bound: Long): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     table(s, dir, "documents")

@@ -16,6 +16,27 @@ import org.apache.spark.sql.expressions.Window
 object CorpusOps {
   import RelationalOps.table
 
+  /** Documents table with at least the session's parallelism (r6, guide
+    * §2.5 "input skew: one huge unsplittable file → repartition after
+    * the read"): the local sf dirs are single-file parquet, one split.
+    * Used ONLY by d7, whose persist materialization (tokenize + k=96
+    * MinHash per doc) is heavy enough to pay for the raw-text exchange
+    * and whose cached projection then feeds the candidate join at the
+    * session's width. Measured and REJECTED for the cheaper per-doc
+    * kernels (d6 simhash / d8 fingerprint / d11 regex counts): their
+    * single-task compute is smaller than the exchange it would remove.
+    * The repartition is CONDITIONAL on the scan actually being narrower
+    * than the session: a production corpus with thousands of splits pays
+    * no extra exchange. Round-robin repartition is retry-safe
+    * (sortBeforeRepartition stays on) and every consumer is
+    * aggregation/join/orderBy-shaped, so output is
+    * partitioning-independent. */
+  private def docsParallel(s: SparkSession, dir: String): DataFrame = {
+    val t = table(s, dir, "documents")
+    val width = s.sparkContext.defaultParallelism
+    if (t.rdd.getNumPartitions < width) t.repartition(width) else t
+  }
+
   /** d1: exact dedup via content-hash groupBy. */
   def d1DedupExact(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "documents")
@@ -221,7 +242,11 @@ object CorpusOps {
       catch { case _: IllegalStateException => () }
     }
     d7LastCached = None
-    val docs = table(s, dir, "documents")
+    // r6: docsParallel — the persist materialization (tokenize + k=96
+    // MinHash of every document) ran as ONE task off the single-split
+    // local scan, and the candidate join then streamed the 1-partition
+    // cache through a single probe task
+    val docs = docsParallel(s, dir)
       .select(col("doc_id"), expr("shingles_sorted(text, 3)").as("sh"))
       .withColumn("sig", expr(s"minhash_from_shingles(sh, $D7NumHashes)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -536,11 +536,19 @@ object CorpusOps {
           interruptOnCancel = interrupt != null && interrupt.toBoolean)
       missedDf.count()
     }(scala.concurrent.ExecutionContext.global)
+    // no per-round persist/localCheckpoint (r6): RDD shuffle outputs are
+    // implicit checkpoints — each round's count() schedules the full
+    // chain but every prior round's ShuffleMapStage is SKIPPED (its
+    // shuffle files are on disk), so only the narrow tail re-executes.
+    // There is no Catalyst re-analysis to truncate on the RDD side (the
+    // DataFrame loop's reason for checkpointing), and dropping the
+    // per-round persist+checkpoint removes one materialization pass per
+    // round. The `chg` accumulator fills when the mapValues segment
+    // executes (once or twice per round — the jump join reads `minned`
+    // on both sides); it gates only on == 0, so double-counting and
+    // retry re-counting are both harmless.
     var labels = nodes.rdd.map(r => { val v = r.getLong(0); (v, v) })
       .partitionBy(part)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.localCheckpoint()
-    labels.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
@@ -562,10 +570,7 @@ object CorpusOps {
         .leftOuterJoin(minned, part)
         .map { case (l, (v, pl)) => (v, pl.getOrElse(l)) }
         .partitionBy(part)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      jumped.localCheckpoint()
       jumped.count() // ONE action per round: materializes + fills chgAcc
-      labels.unpersist(blocking = false)
       labels = jumped
       if (chgAcc.value == 0L) converged = true
       rounds += 1
@@ -583,9 +588,9 @@ object CorpusOps {
     edges.unpersist()
     edgesBi.unpersist(blocking = false)
     import s.implicits._
-    // labels stays persisted: the returned frame is lazy and its lineage
-    // is checkpoint-truncated — the blocks are reclaimed by the context
-    // cleaner once unreferenced
+    // the returned frame is lazy; its job re-reads the final round's
+    // shuffle output (all upstream map stages skip), so no cache needs
+    // to outlive this call
     labels.toDF("vec_id", "cluster_id").orderBy("vec_id")
   }
 
